@@ -1,0 +1,41 @@
+"""seqalib_tpu — TPU-native pairwise sequence-alignment framework.
+
+A from-scratch re-design of the capabilities of ``przemektmalon/SeqALib``
+(Needleman-Wunsch global, Smith-Waterman local, Gotoh affine-gap, banded and
+linear-space alignment, full CIGAR traceback; SURVEY.md §2) built TPU-first:
+Pallas anti-diagonal wavefront DP kernels, SMEM substitution-matrix lookup,
+checkpointed traceback, a length-bucketing batch dispatcher, and shard_map
+data parallelism over device meshes (BASELINE.json:5).
+"""
+
+from .types import (  # noqa: F401
+    BLOSUM62,
+    DNA_ALPHABET,
+    NEG_INF,
+    PROTEIN_ALPHABET,
+    AlignConfig,
+    AlignResult,
+    ScoringParams,
+    decode_dna,
+    decode_protein,
+    encode_dna,
+    encode_protein,
+)
+
+__version__ = "0.1.0"
+
+
+def align(query, target, scoring=None, mode="global", band=None, backend="xla"):
+    """Align one pair. Thin convenience wrapper; see `seqalib_tpu.api`."""
+    from .api import align as _align
+
+    return _align(query, target, scoring=scoring, mode=mode, band=band, backend=backend)
+
+
+def align_batch(queries, targets, scoring=None, mode="global", backend="pallas", **kw):
+    """Align many pairs (length-bucketed, device-batched). See `seqalib_tpu.api`."""
+    from .api import align_batch as _align_batch
+
+    return _align_batch(
+        queries, targets, scoring=scoring, mode=mode, backend=backend, **kw
+    )

@@ -1,0 +1,32 @@
+"""Test env: force a faked 8-device CPU mesh unless SEQALIB_TEST_TPU=1.
+
+Must run before the first `import jax` anywhere in the test process
+(SURVEY.md §4.4: multi-host-without-a-cluster technique).
+"""
+
+import os
+
+if os.environ.get("SEQALIB_TEST_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_dna(rng, n):
+    return rng.integers(0, 4, size=n).astype(np.uint8)
+
+
+def random_protein(rng, n):
+    # 0..19 = the 20 real residues; skip B/Z/X/* for realistic data
+    return rng.integers(0, 20, size=n).astype(np.uint8)
