@@ -1,0 +1,147 @@
+"""Batched alignment dispatcher: length bucketing, padding, backend calls,
+result assembly (SURVEY.md §1.2 layer 2, §3.2-1; new-build — the reference is
+a single-pair sequential library with no batching, SURVEY.md §2.1).
+
+Pipeline: sort pairs into (Lq, Lt) power-of-two buckets -> pad -> run each
+bucket through the selected device backend (optionally shard_map'ed over a
+mesh's 'pairs' axis, see seqalib_tpu.parallel.dist) -> decode tracebacks ->
+unpermute to input order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..types import AlignResult, ScoringParams
+from ..utils.cigar import OP_PAD, ops_to_cigar
+
+MIN_BUCKET = 16
+
+
+def bucket_len(n: int) -> int:
+    """Smallest power-of-two >= n (>= MIN_BUCKET)."""
+    b = MIN_BUCKET
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _pad_stack(seqs: List[np.ndarray], L: int) -> np.ndarray:
+    out = np.zeros((len(seqs), L), dtype=np.int32)
+    for r, s in enumerate(seqs):
+        out[r, : len(s)] = s
+    return out
+
+
+def sentinel_table(sp: ScoringParams) -> np.ndarray:
+    """(A+1, A+1) int32 substitution table with a zero sentinel row/col.
+
+    The sentinel (last index) scores 0 against everything so padded lattice
+    slots drift by 0 instead of accumulating junk (SMEM-resident in the
+    Pallas kernels; SURVEY.md §2.1 'ScoringSystem' equivalent)."""
+    m = sp.substitution_matrix()
+    a = m.shape[0]
+    out = np.zeros((a + 1, a + 1), dtype=np.int32)
+    out[:a, :a] = m
+    return out
+
+
+def run_bucket(
+    q: np.ndarray,
+    t: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    sp: ScoringParams,
+    mode: str,
+    band: Optional[int],
+    backend: str,
+    traceback: bool,
+    mesh=None,
+) -> Dict[str, np.ndarray]:
+    """Run one padded bucket (B, Lq) x (B, Lt) on a device backend."""
+    import jax.numpy as jnp
+
+    table = jnp.asarray(sentinel_table(sp))
+    affine = sp.is_affine or band is not None
+    kwargs = dict(
+        mode=mode,
+        gap_open=sp.gap_open,
+        gap_extend=sp.gap_extend,
+        band=band,
+        affine=affine,
+        want_tb=traceback,
+    )
+    args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), table)
+
+    if mesh is not None:
+        from .dist import wavefront_sharded
+
+        out = wavefront_sharded(mesh, *args, **kwargs)
+    elif backend == "xla":
+        from ..ops.wavefront_xla import wavefront_bucket
+
+        out = wavefront_bucket(*args, **kwargs)
+    elif backend == "pallas":
+        from ..ops.wavefront_pallas import pallas_bucket
+
+        out = pallas_bucket(*args, **kwargs)
+    else:
+        raise ValueError(f"unknown device backend {backend!r}")
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _decode_ops_rev(row: np.ndarray) -> str:
+    """end->start op codes, OP_PAD padded -> CIGAR string."""
+    n = int((row != OP_PAD).sum())
+    return ops_to_cigar(row[:n][::-1])
+
+
+def dispatch_batch(
+    qs: List[np.ndarray],
+    ts: List[np.ndarray],
+    sp: ScoringParams,
+    mode: str = "local",
+    band: Optional[int] = None,
+    backend: str = "xla",
+    traceback: bool = True,
+    mesh=None,
+    pad_batch_to: int = 1,
+) -> List[AlignResult]:
+    """Align all pairs; returns results in input order."""
+    n_pairs = len(qs)
+    # bucket key: (padded Lq, padded Lt)
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for idx, (q, t) in enumerate(zip(qs, ts)):
+        key = (bucket_len(len(q)), bucket_len(len(t)))
+        buckets.setdefault(key, []).append(idx)
+
+    results: List[Optional[AlignResult]] = [None] * n_pairs
+    for (Lq, Lt), idxs in sorted(buckets.items()):
+        B = len(idxs)
+        Bp = max(B, 1)
+        if pad_batch_to > 1:
+            Bp = ((B + pad_batch_to - 1) // pad_batch_to) * pad_batch_to
+        qb = _pad_stack([qs[i] for i in idxs] + [qs[idxs[0]]] * (Bp - B), Lq)
+        tb = _pad_stack([ts[i] for i in idxs] + [ts[idxs[0]]] * (Bp - B), Lt)
+        qlen = np.array(
+            [len(qs[i]) for i in idxs] + [len(qs[idxs[0]])] * (Bp - B), np.int32
+        )
+        tlen = np.array(
+            [len(ts[i]) for i in idxs] + [len(ts[idxs[0]])] * (Bp - B), np.int32
+        )
+        out = run_bucket(
+            qb, tb, qlen, tlen, sp, mode, band, backend, traceback, mesh=mesh
+        )
+        for r, idx in enumerate(idxs):
+            cigar = _decode_ops_rev(out["ops_rev"][r]) if traceback else ""
+            results[idx] = AlignResult(
+                int(out["score"][r]),
+                int(out["qs"][r]),
+                int(out["qe"][r]),
+                int(out["ts"][r]),
+                int(out["te"][r]),
+                cigar,
+            )
+    return results  # type: ignore[return-value]
