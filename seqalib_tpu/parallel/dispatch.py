@@ -76,10 +76,10 @@ def run_bucket(
     args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), table)
 
     if mesh is not None:
-        from .dist import wavefront_sharded
+        from .dist import gather_to_host, wavefront_sharded
 
-        out = wavefront_sharded(mesh, *args, **kwargs)
-    elif backend == "xla":
+        return gather_to_host(wavefront_sharded(mesh, *args, **kwargs))
+    if backend == "xla":
         from ..ops.wavefront_xla import wavefront_bucket
 
         out = wavefront_bucket(*args, **kwargs)
@@ -111,6 +111,10 @@ def dispatch_batch(
 ) -> List[AlignResult]:
     """Align all pairs; returns results in input order."""
     n_pairs = len(qs)
+    if mesh is not None and pad_batch_to == 1:
+        from .dist import PAIR_AXIS
+
+        pad_batch_to = mesh.shape[PAIR_AXIS]
     # bucket key: (padded Lq, padded Lt)
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for idx, (q, t) in enumerate(zip(qs, ts)):

@@ -13,6 +13,12 @@ if os.environ.get("SEQALIB_TEST_TPU", "0") != "1":
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # A site-installed accelerator plugin may have already forced
+    # jax_platforms via jax.config at interpreter startup (overriding the
+    # env var); re-force CPU before any backend initializes.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,62 @@
+"""Distribution-layer tests on a faked 8-device CPU mesh (SURVEY.md §4.4).
+
+Asserts the sharded pair-stream path (bucket -> shard -> gather -> unpermute)
+is bit-exact vs the oracle, including batches not divisible by the mesh and
+mixed-length bucketing.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seqalib_tpu import ScoringParams, align_batch
+from seqalib_tpu.oracle import align_oracle
+from seqalib_tpu.parallel.dist import make_pair_mesh
+
+from conftest import random_dna, random_protein
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device (faked CPU) backend")
+    return make_pair_mesh()
+
+
+def _check(results, qs, ts, sp, mode):
+    for r, q, t in zip(results, qs, ts):
+        o = align_oracle(q, t, sp, mode=mode)
+        assert (r.score, r.query_start, r.query_end, r.target_start, r.target_end) == (
+            o.score,
+            o.query_start,
+            o.query_end,
+            o.target_start,
+            o.target_end,
+        )
+        assert r.cigar == o.cigar
+
+
+def test_sharded_local_linear_dna(mesh, rng):
+    sp = ScoringParams.linear()
+    qs = [random_dna(rng, int(n)) for n in rng.integers(20, 120, size=13)]
+    ts = [random_dna(rng, int(n)) for n in rng.integers(20, 120, size=13)]
+    res = align_batch(qs, ts, scoring=sp, mode="local", backend="xla", mesh=mesh)
+    _check(res, qs, ts, sp, "local")
+
+
+def test_sharded_global_affine_protein(mesh, rng):
+    sp = ScoringParams.blosum62()
+    qs = [random_protein(rng, int(n)) for n in rng.integers(10, 60, size=9)]
+    ts = [random_protein(rng, int(n)) for n in rng.integers(10, 60, size=9)]
+    res = align_batch(qs, ts, scoring=sp, mode="global", backend="xla", mesh=mesh)
+    _check(res, qs, ts, sp, "global")
+
+
+def test_sharded_matches_unsharded(mesh, rng):
+    sp = ScoringParams.affine()
+    qs = [random_dna(rng, 64) for _ in range(16)]
+    ts = [random_dna(rng, 64) for _ in range(16)]
+    a = align_batch(qs, ts, scoring=sp, mode="local", backend="xla", mesh=mesh)
+    b = align_batch(qs, ts, scoring=sp, mode="local", backend="xla")
+    assert a == b
