@@ -1,0 +1,286 @@
+"""Generic-container aligner API mirroring the reference's template surface.
+
+The reference (SeqALib, SURVEY.md §1.1/§2.1) is a header-only C++ template
+library: ``ScoringSystem{gapPenalty, matchProfit, allowMismatch}``, an
+``AlignedSequence<Ty, Blank>`` result (list of aligned entry pairs with
+match flags and a Blank sentinel for gaps), and one aligner strategy class
+per algorithm (``NeedlemanWunschSA``, ``HirschbergSA``,
+``DiagonalWindowsSA``, ``SmithWatermanSA``/Gotoh variants), each taking a
+user *match function* over element pairs.
+
+This module is the Python equivalent for arbitrary element types (the
+original use case aligned LLVM instruction streams, not DNA): any sequence
+of hashable/comparable objects and any ``match_fn(a, b) -> bool``.  It runs
+on the CPU — per-cell Python callbacks are not accelerator-expressible
+(SURVEY.md §7 "Deliberate omissions"); the integer-alphabet fast path is
+``seqalib_tpu.align`` / ``align_batch``.
+
+Tie-break semantics are identical to the engine contract (SURVEY.md §2.2):
+DIAG > UP (consume s1) > LEFT (consume s2); B&B FOGSAA is deliberately
+omitted — exact NW returns the same optimal global alignments
+(SURVEY.md §2.1 "FOGSAA: out of scope").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+MatchFn = Callable[[Any, Any], bool]
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoringSystem:
+    """Reference-equivalent scoring config (SURVEY.md §2.1).
+
+    gap_penalty: score added per gap element (<= 0).
+    match_profit: score added per matching pair (>= 0).
+    allow_mismatch: if False, mismatched pairs may never align against each
+        other (they must be separated by gaps); if True they align with
+        ``mismatch_penalty``.
+    """
+
+    gap_penalty: int = -1
+    match_profit: int = 2
+    allow_mismatch: bool = True
+    mismatch_penalty: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignedEntry:
+    """One column of an alignment: (a, b, is_match); gap side holds Blank."""
+
+    a: Any
+    b: Any
+    is_match: bool
+
+
+class AlignedSequence:
+    """Reference-equivalent alignment container (list of AlignedEntry)."""
+
+    def __init__(self, entries: List[AlignedEntry], score: int, blank: Any = None):
+        self.entries = entries
+        self.score = score
+        self.blank = blank
+
+    def __iter__(self):
+        return iter(self.entries)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i):
+        return self.entries[i]
+
+    def matches(self) -> int:
+        return sum(1 for e in self.entries if e.is_match)
+
+    def cigar(self) -> str:
+        """CIGAR view (M both, I = s1 consumed, D = s2 consumed)."""
+        out: List[str] = []
+        run_op, run_len = "", 0
+        for ent in self.entries:
+            op = "M" if (ent.a is not self.blank and ent.b is not self.blank) else (
+                "I" if ent.b is self.blank else "D"
+            )
+            if op == run_op:
+                run_len += 1
+            else:
+                if run_len:
+                    out.append(f"{run_len}{run_op}")
+                run_op, run_len = op, 1
+        if run_len:
+            out.append(f"{run_len}{run_op}")
+        return "".join(out)
+
+    def __repr__(self):
+        return f"AlignedSequence(score={self.score}, len={len(self.entries)})"
+
+
+class SequenceAligner:
+    """Base aligner: subclass per strategy (reference ``SequenceAligner``)."""
+
+    def __init__(
+        self,
+        scoring: Optional[ScoringSystem] = None,
+        match_fn: Optional[MatchFn] = None,
+        blank: Any = None,
+    ):
+        self.scoring = scoring if scoring is not None else ScoringSystem()
+        self.match_fn = match_fn if match_fn is not None else (lambda a, b: a == b)
+        self.blank = blank
+
+    # -- scoring helpers ---------------------------------------------------
+    def _pair_score(self, a, b) -> Optional[int]:
+        """Score of aligning a against b, or None if disallowed."""
+        if self.match_fn(a, b):
+            return self.scoring.match_profit
+        if self.scoring.allow_mismatch:
+            return self.scoring.mismatch_penalty
+        return None
+
+    def get_alignment(self, s1: Sequence, s2: Sequence) -> AlignedSequence:
+        raise NotImplementedError
+
+    # -- shared DP core ----------------------------------------------------
+    def _nw_matrix(self, s1, s2, band: Optional[int] = None):
+        """Full NW score+pointer fill; returns (H, P). O(n*m)."""
+        NEG = -(1 << 50)
+        g = self.scoring.gap_penalty
+        n, m = len(s1), len(s2)
+        if band is not None:
+            dlo = min(0, m - n) - band
+            dhi = max(0, m - n) + band
+        else:
+            dlo, dhi = -(n + 1), m + 1
+        H = [[NEG] * (m + 1) for _ in range(n + 1)]
+        P = [[0] * (m + 1) for _ in range(n + 1)]
+        H[0][0] = 0
+        for j in range(1, m + 1):
+            if dlo <= j <= dhi:
+                H[0][j] = j * g
+                P[0][j] = 3  # LEFT
+        for i in range(1, n + 1):
+            if dlo <= -i <= dhi:
+                H[i][0] = i * g
+                P[i][0] = 2  # UP
+            a = s1[i - 1]
+            for j in range(1, m + 1):
+                if not (dlo <= j - i <= dhi):
+                    continue
+                ps = self._pair_score(a, s2[j - 1])
+                d = H[i - 1][j - 1] + ps if ps is not None else NEG
+                u = H[i - 1][j] + g
+                l = H[i][j - 1] + g
+                best = max(d, u, l)
+                H[i][j] = best
+                P[i][j] = 1 if d == best else (2 if u == best else 3)
+        return H, P
+
+    def _walk(self, s1, s2, P) -> List[AlignedEntry]:
+        i, j = len(s1), len(s2)
+        ents: List[AlignedEntry] = []
+        while i > 0 or j > 0:
+            p = P[i][j]
+            if p == 1:
+                a, b = s1[i - 1], s2[j - 1]
+                ents.append(AlignedEntry(a, b, self.match_fn(a, b)))
+                i, j = i - 1, j - 1
+            elif p == 2:
+                ents.append(AlignedEntry(s1[i - 1], self.blank, False))
+                i -= 1
+            elif p == 3:
+                ents.append(AlignedEntry(self.blank, s2[j - 1], False))
+                j -= 1
+            else:  # unreachable cell (band edge): fall back to gaps
+                if i > 0:
+                    ents.append(AlignedEntry(s1[i - 1], self.blank, False))
+                    i -= 1
+                else:
+                    ents.append(AlignedEntry(self.blank, s2[j - 1], False))
+                    j -= 1
+        ents.reverse()
+        return ents
+
+
+class NeedlemanWunschSA(SequenceAligner):
+    """Global alignment, full O(n*m) matrix (reference NeedlemanWunschSA.h)."""
+
+    def get_alignment(self, s1, s2) -> AlignedSequence:
+        H, P = self._nw_matrix(s1, s2)
+        return AlignedSequence(self._walk(s1, s2, P), H[len(s1)][len(s2)], self.blank)
+
+
+class DiagonalWindowsSA(SequenceAligner):
+    """Banded global alignment within a diagonal window (reference
+    DiagonalWindowsSA.h).  ``window`` is the band half-width."""
+
+    def __init__(self, *args, window: int = 16, **kw):
+        super().__init__(*args, **kw)
+        self.window = window
+
+    def get_alignment(self, s1, s2) -> AlignedSequence:
+        H, P = self._nw_matrix(s1, s2, band=self.window)
+        return AlignedSequence(self._walk(s1, s2, P), H[len(s1)][len(s2)], self.blank)
+
+
+class HirschbergSA(SequenceAligner):
+    """Linear-space global alignment by divide and conquer (reference
+    HirschbergSA.h): two O(n*m/2) score-row scans find the optimal split of
+    s2 for the midpoint of s1; recurse on the quadrants."""
+
+    def _score_row(self, s1, s2) -> List[int]:
+        NEG = -(1 << 50)
+        g = self.scoring.gap_penalty
+        prev = [j * g for j in range(len(s2) + 1)]
+        for i in range(1, len(s1) + 1):
+            cur = [i * g] + [0] * len(s2)
+            a = s1[i - 1]
+            for j in range(1, len(s2) + 1):
+                ps = self._pair_score(a, s2[j - 1])
+                d = prev[j - 1] + ps if ps is not None else NEG
+                cur[j] = max(d, prev[j] + g, cur[j - 1] + g)
+            prev = cur
+        return prev
+
+    def get_alignment(self, s1, s2) -> AlignedSequence:
+        ents, score = self._hirschberg(list(s1), list(s2))
+        return AlignedSequence(ents, score, self.blank)
+
+    def _hirschberg(self, s1, s2) -> Tuple[List[AlignedEntry], int]:
+        g = self.scoring.gap_penalty
+        if len(s1) <= 1 or len(s2) <= 1:
+            H, P = self._nw_matrix(s1, s2)
+            return self._walk(s1, s2, P), H[len(s1)][len(s2)]
+        mid = len(s1) // 2
+        left = self._score_row(s1[:mid], s2)
+        right = self._score_row(s1[mid:][::-1], s2[::-1])[::-1]
+        split, best = 0, None
+        for j in range(len(s2) + 1):
+            v = left[j] + right[j]
+            if best is None or v > best:
+                best, split = v, j
+        e1, sc1 = self._hirschberg(s1[:mid], s2[:split])
+        e2, sc2 = self._hirschberg(s1[mid:], s2[split:])
+        return e1 + e2, sc1 + sc2
+
+
+class SmithWatermanSA(SequenceAligner):
+    """Local alignment (reference SW capability, BASELINE.json:8)."""
+
+    def get_alignment(self, s1, s2) -> AlignedSequence:
+        g = self.scoring.gap_penalty
+        n, m = len(s1), len(s2)
+        H = [[0] * (m + 1) for _ in range(n + 1)]
+        P = [[0] * (m + 1) for _ in range(n + 1)]
+        best, bi, bj = 0, 0, 0
+        for i in range(1, n + 1):
+            a = s1[i - 1]
+            for j in range(1, m + 1):
+                ps = self._pair_score(a, s2[j - 1])
+                d = H[i - 1][j - 1] + ps if ps is not None else -(1 << 50)
+                u = H[i - 1][j] + g
+                l = H[i][j - 1] + g
+                cand = max(d, u, l)
+                if cand <= 0:
+                    continue
+                H[i][j] = cand
+                P[i][j] = 1 if d == cand else (2 if u == cand else 3)
+                if cand > best:
+                    best, bi, bj = cand, i, j
+        ents: List[AlignedEntry] = []
+        i, j = bi, bj
+        while P[i][j] != 0:
+            p = P[i][j]
+            if p == 1:
+                a, b = s1[i - 1], s2[j - 1]
+                ents.append(AlignedEntry(a, b, self.match_fn(a, b)))
+                i, j = i - 1, j - 1
+            elif p == 2:
+                ents.append(AlignedEntry(s1[i - 1], self.blank, False))
+                i -= 1
+            else:
+                ents.append(AlignedEntry(self.blank, s2[j - 1], False))
+                j -= 1
+        ents.reverse()
+        return AlignedSequence(ents, best, self.blank)

@@ -1,0 +1,84 @@
+"""Generic-container aligner (reference template-API equivalent) tests."""
+
+import numpy as np
+
+from seqalib_tpu.models.generic import (
+    AlignedSequence,
+    DiagonalWindowsSA,
+    HirschbergSA,
+    NeedlemanWunschSA,
+    ScoringSystem,
+    SmithWatermanSA,
+)
+from seqalib_tpu.oracle import align_oracle
+from seqalib_tpu.types import ScoringParams, encode_dna
+
+
+def test_nw_matches_oracle_on_dna():
+    sc = ScoringSystem(gap_penalty=-2, match_profit=2, mismatch_penalty=-3)
+    sa = NeedlemanWunschSA(sc)
+    q, t = "ACGTACGT", "ACGACGT"
+    got = sa.get_alignment(q, t)
+    want = align_oracle(
+        encode_dna(q), encode_dna(t), ScoringParams.linear(2, -3, -2), mode="global"
+    )
+    assert got.score == want.score
+    assert got.cigar() == want.cigar
+
+
+def test_sw_matches_oracle_on_dna():
+    sc = ScoringSystem(gap_penalty=-2, match_profit=2, mismatch_penalty=-3)
+    sa = SmithWatermanSA(sc)
+    q, t = "TTTACGTACGTTT", "GGACGTACGG"
+    got = sa.get_alignment(q, t)
+    want = align_oracle(
+        encode_dna(q), encode_dna(t), ScoringParams.linear(2, -3, -2), mode="local"
+    )
+    assert got.score == want.score
+
+
+def test_hirschberg_score_equals_nw():
+    rng = np.random.default_rng(3)
+    sc = ScoringSystem(gap_penalty=-1, match_profit=2, mismatch_penalty=-1)
+    for _ in range(5):
+        s1 = list(rng.integers(0, 4, rng.integers(1, 40)))
+        s2 = list(rng.integers(0, 4, rng.integers(1, 40)))
+        nw = NeedlemanWunschSA(sc).get_alignment(s1, s2)
+        hb = HirschbergSA(sc).get_alignment(s1, s2)
+        assert hb.score == nw.score
+        # both must be valid full alignments of the inputs
+        assert [e.a for e in hb if e.a is not None] == s1
+        assert [e.b for e in hb if e.b is not None] == s2
+
+
+def test_banded_wide_equals_full():
+    rng = np.random.default_rng(4)
+    sc = ScoringSystem(gap_penalty=-1, match_profit=2, mismatch_penalty=-1)
+    s1 = list(rng.integers(0, 4, 30))
+    s2 = list(rng.integers(0, 4, 33))
+    full = NeedlemanWunschSA(sc).get_alignment(s1, s2)
+    wide = DiagonalWindowsSA(sc, window=64).get_alignment(s1, s2)
+    assert wide.score == full.score
+
+
+def test_arbitrary_objects_and_match_fn():
+    """The reference aligns arbitrary element streams (e.g. instructions)."""
+    sc = ScoringSystem(gap_penalty=-1, match_profit=3, allow_mismatch=False)
+    ops1 = [("add", 1), ("mul", 2), ("ld", 3), ("st", 4)]
+    ops2 = [("add", 9), ("ld", 7), ("st", 4)]
+    # match on opcode only
+    sa = NeedlemanWunschSA(sc, match_fn=lambda a, b: a[0] == b[0])
+    res = sa.get_alignment(ops1, ops2)
+    assert isinstance(res, AlignedSequence)
+    assert res.matches() == 3  # add, ld, st
+    # mul must be gapped (allow_mismatch=False)
+    gapped = [e for e in res if e.b is None]
+    assert len(gapped) == 1 and gapped[0].a == ("mul", 2)
+
+
+def test_aligned_sequence_container():
+    sc = ScoringSystem()
+    res = NeedlemanWunschSA(sc).get_alignment("AB", "AB")
+    assert len(res) == 2
+    assert all(e.is_match for e in res)
+    assert res.cigar() == "2M"
