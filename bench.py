@@ -7,6 +7,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numbers (BASELINE.md: "published": {}); the
 recorded baseline here is the BASELINE.md roofline-derived target floor of
 100 GCUPS/chip, so vs_baseline = GCUPS / 100.
+
+Measurement: the remote-TPU tunnel adds ~2ms fixed overhead per dispatch
+and ~30-50ms per host roundtrip, so a naive per-call wall clock measures
+the tunnel, not the chip.  We jit a chain of X kernel launches (distinct
+inputs per launch so nothing is CSE'd or result-cached) for two values of
+X and take the *marginal* time per launch: (t(X2) - t(X1)) / (X2 - X1).
 """
 
 import json
@@ -27,8 +33,10 @@ def main():
 
     B = int(os.environ.get("BENCH_B", "32"))
     L = int(os.environ.get("BENCH_L", "1024"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    backend = os.environ.get("BENCH_BACKEND", "auto")
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    X1 = int(os.environ.get("BENCH_X1", "4"))
+    X2 = int(os.environ.get("BENCH_X2", "20"))
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
 
     sp = ScoringParams.blosum62()
     rng = np.random.default_rng(0)
@@ -36,47 +44,84 @@ def main():
     t = jnp.asarray(rng.integers(0, 20, size=(B, L)), jnp.int32)
     qlen = jnp.full((B,), L, jnp.int32)
     tlen = jnp.full((B,), L, jnp.int32)
-    table = jnp.asarray(sentinel_table(sp))
-    kwargs = dict(
-        mode="local",
-        gap_open=sp.gap_open,
-        gap_extend=sp.gap_extend,
-        band=None,
-        affine=True,
-        want_tb=False,
-    )
+    table_h = sentinel_table(sp)
+    table = jnp.asarray(table_h)
+    match, mismatch = int(table_h[0, 0]), int(table_h[0, 1])
 
-    if backend == "auto":
-        try:
-            from seqalib_tpu.ops.wavefront_pallas import pallas_bucket as fn
+    if backend == "pallas":
+        from seqalib_tpu.ops.wavefront_pallas import _fill
 
-            backend = "pallas"
-        except Exception:
-            from seqalib_tpu.ops.wavefront_xla import wavefront_bucket as fn
+        interpret = jax.devices()[0].platform != "tpu"
 
-            backend = "xla"
-    elif backend == "pallas":
-        from seqalib_tpu.ops.wavefront_pallas import pallas_bucket as fn
+        def one(qi):
+            return _fill(
+                qi,
+                t,
+                qlen,
+                tlen,
+                table,
+                mode="local",
+                match=match,
+                mismatch=mismatch,
+                gap_open=sp.gap_open,
+                gap_extend=sp.gap_extend,
+                band=None,
+                affine=True,
+                want_tb=False,
+                profile=True,
+                interpret=interpret,
+            )["score"]
+
     else:
-        from seqalib_tpu.ops.wavefront_xla import wavefront_bucket as fn
+        from seqalib_tpu.ops.wavefront_xla import wavefront_bucket
 
-    def step():
-        return fn(q, t, qlen, tlen, table, **kwargs)
+        def one(qi):
+            return wavefront_bucket(
+                qi,
+                t,
+                qlen,
+                tlen,
+                table,
+                mode="local",
+                gap_open=sp.gap_open,
+                gap_extend=sp.gap_extend,
+                band=None,
+                affine=True,
+                want_tb=False,
+            )["score"]
 
-    jax.block_until_ready(step())  # compile + warm
-    jax.block_until_ready(step())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    def chain(X):
+        @jax.jit
+        def many(q0):
+            acc = jnp.int32(0)
+            for i in range(X):
+                # distinct input per launch: batch-axis roll by i
+                acc = acc + one(jnp.roll(q0, i, axis=0)).sum()
+            return acc
 
+        return many
+
+    m1, m2 = chain(X1), chain(X2)
+    jax.block_until_ready(m1(q))  # compile + warm
+    jax.block_until_ready(m2(q))
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(q))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = timed(m1), timed(m2)
+    per_call = (t2 - t1) / (X2 - X1)
     cells = B * L * L
-    gcups = cells / dt / 1e9
+    gcups = cells / per_call / 1e9
     print(
         json.dumps(
             {
-                "metric": f"GCUPS/chip sw-affine-{L} ({backend}, {jax.devices()[0].platform})",
+                "metric": f"GCUPS/chip sw-affine-{L}x{L} B={B} "
+                f"({backend}, {jax.devices()[0].platform})",
                 "value": round(gcups, 3),
                 "unit": "GCUPS",
                 "vs_baseline": round(gcups / BASELINE_GCUPS, 4),

@@ -1,0 +1,240 @@
+"""Banded long-read alignment driver: fill + checkpointed traceback.
+
+Config 4 (BASELINE.json:10): banded affine NW on 10-100kb pairs.  Two-phase
+design (SURVEY.md §3.2-2):
+
+1. **Fill** — `ops.banded_pallas.band_fill_range` over all K anti-diagonals,
+   O(n·w) time / O(w) state, emitting a state snapshot (checkpoint) every
+   ``CK`` diagonals to HBM: K/CK · 6 · B · Wp int32 ≪ the O(n·w) pointer
+   matrix a naive traceback would need (impossible at 100kb).
+2. **Traceback** — walk blocks last-to-first: recompute each CK-diagonal
+   block from its checkpoint with pointer emission on (the recompute is the
+   documented ~2x fill cost, SURVEY.md §7 "Traceback memory"), then walk the
+   in-VMEM-sized pointer block on the host, vectorized across the batch.
+
+Bucket contract: all pairs share ``tlen - qlen`` (the dispatcher groups
+banded pairs by length delta) so the band geometry (dlo, dhi) is uniform;
+per-pair lengths may differ inside the bucket.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.banded_pallas import (
+    LANES,
+    N_STATE,
+    band_fill_range,
+    init_band_state,
+)
+from ..types import (
+    NEG_INF,
+    PTR_DIAG,
+    PTR_LEFT,
+    PTR_STOP,
+    PTR_UP,
+    AlignResult,
+    ScoringParams,
+)
+from ..utils.cigar import OP_D, OP_I, OP_M, ops_to_cigar
+
+_EXT_E_BIT = 2
+_EXT_F_BIT = 3
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _geometry(n: int, m: int, band: int):
+    delta = m - n
+    dlo = min(0, delta) - band
+    dhi = max(0, delta) + band
+    D = dhi - dlo + 1
+    Wp = _ceil_to(D // 2 + 2, LANES)
+    K = n + m + 1
+    return dlo, dhi, Wp, K
+
+
+def _pad_letters(seqs: np.ndarray, width: int, sentinel: int, lens: np.ndarray):
+    """(B, width) i32: out[:, x] = seq[x-1] for 1 <= x <= len else sentinel."""
+    B = seqs.shape[0]
+    out = np.full((B, width), sentinel, np.int32)
+    L = min(seqs.shape[1], width - 1)
+    out[:, 1 : 1 + L] = seqs[:, :L]
+    xs = np.arange(width)[None, :]
+    return np.where((xs >= 1) & (xs <= lens[:, None]), out, sentinel).astype(np.int32)
+
+
+def banded_align_batch(
+    qs: np.ndarray,
+    ts: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    sp: ScoringParams,
+    band: int,
+    traceback: bool = True,
+    CK: int = 256,
+) -> List[AlignResult]:
+    """Banded affine-gap global alignment of a same-delta bucket.
+
+    qs/ts: (B, L*) int letter codes (scalar match/mismatch scoring only —
+    the long-read domain).  All pairs must satisfy tlen - qlen == const.
+    """
+    if sp.matrix is not None:
+        raise NotImplementedError(
+            "banded kernel is match/mismatch (DNA) only; matrix scoring uses "
+            "the full wavefront kernel (band= on align_batch)"
+        )
+    interpret = jax.devices()[0].platform != "tpu"
+    qs = np.asarray(qs, np.int32)
+    ts = np.asarray(ts, np.int32)
+    qlen = np.asarray(qlen, np.int64)
+    tlen = np.asarray(tlen, np.int64)
+    deltas = tlen - qlen
+    if not (deltas == deltas[0]).all():
+        raise ValueError("banded bucket requires uniform tlen - qlen")
+    B = qs.shape[0]
+    n = int(qlen.max())
+    m = int(tlen.max())
+    if not (qlen == n).all() or not (tlen == m).all():
+        # per-pair lengths may differ only via the masks; geometry needs the
+        # endpoint diagonal in band, guaranteed by uniform delta.
+        pass
+    dlo, dhi, Wp, K = _geometry(n, m, band)
+    if not (dlo <= m - n <= dhi):
+        raise ValueError("band does not contain the endpoint")
+    CK = _ceil_to(CK, 4)
+
+    Kp = _ceil_to(K, CK)  # the grid may run past K; widths must cover it
+    qwidth = _ceil_to((Kp - dhi) // 2 + Wp + 2, LANES) + LANES
+    twidth = _ceil_to(Kp + 2, LANES) + LANES
+    qk = jnp.asarray(_pad_letters(qs, qwidth, 4, qlen))
+    tk = jnp.asarray(_pad_letters(ts, twidth, 5, tlen))
+    qlen_j = jnp.asarray(qlen, jnp.int32)
+    tlen_j = jnp.asarray(tlen, jnp.int32)
+
+    state0 = jnp.asarray(init_band_state(np.asarray(qk), B, Wp))
+    score0 = jnp.full((B, Wp), NEG_INF, jnp.int32)
+
+    kw = dict(
+        K=K,
+        Wp=Wp,
+        dlo=dlo,
+        dhi=dhi,
+        match=sp.match,
+        mismatch=sp.mismatch,
+        gap_open=sp.gap_open,
+        gap_extend=sp.gap_extend,
+        CK=CK,
+        interpret=interpret,
+    )
+
+    # ---- pass 1: fill with checkpoints ----------------------------------
+    score_v, state_out, ckpts, _ = band_fill_range(
+        qk,
+        tk,
+        qlen_j,
+        tlen_j,
+        state0,
+        score0,
+        k_start=0,
+        k_end=K,
+        want_ptr=False,
+        want_ckpt=traceback,
+        **kw,
+    )
+    score_h = np.asarray(score_v)
+    scores = score_h.max(axis=1)
+
+    if not traceback:
+        return [
+            AlignResult(int(scores[b]), 0, int(qlen[b]), 0, int(tlen[b]), "")
+            for b in range(B)
+        ]
+
+    ckpts_h = np.asarray(ckpts)  # (NC, N_STATE, B, Wp)
+
+    # ---- pass 2: blockwise recompute + host walk ------------------------
+    ST_H, ST_E, ST_F = 0, 1, 2
+    i = qlen.copy()
+    j = tlen.copy()
+    st = np.zeros(B, np.int32)
+    done = np.zeros(B, bool)
+    barr = np.arange(B)
+    ops_rev_cols: List[np.ndarray] = []
+
+    def ihat(k):
+        return np.maximum(0, (k - dhi + 1) // 2)
+
+    k_cur = i + j
+    ci = int(k_cur.max()) // CK
+    while not done.all() and ci >= 0:
+        k0 = ci * CK
+        _, _, _, ptrs = band_fill_range(
+            qk,
+            tk,
+            qlen_j,
+            tlen_j,
+            jnp.asarray(ckpts_h[ci]),
+            score0,
+            k_start=k0,
+            k_end=k0 + CK,
+            want_ptr=True,
+            want_ckpt=False,
+            **kw,
+        )
+        P = np.asarray(ptrs)  # (CK, B, Wp)
+        # walk pairs while their current diagonal is inside this block
+        while True:
+            k_cur = i + j
+            act_blk = (~done) & (k_cur >= k0) & (k_cur < k0 + CK)
+            if not act_blk.any():
+                break
+            p_slot = i - ihat(k_cur)
+            byte = np.where(
+                act_blk, P[np.clip(k_cur - k0, 0, CK - 1), barr, np.clip(p_slot, 0, P.shape[2] - 1)], 0
+            ).astype(np.int32)
+            ph = byte & 3
+            ext_e = ((byte >> _EXT_E_BIT) & 1).astype(bool)
+            ext_f = ((byte >> _EXT_F_BIT) & 1).astype(bool)
+            in_h = st == ST_H
+            stop = act_blk & in_h & (ph == PTR_STOP)
+            done = done | stop
+            act = act_blk & ~done
+            act_m = act & in_h & (ph == PTR_DIAG)
+            act_i = act & ((in_h & (ph == PTR_UP)) | (st == ST_F))
+            act_d = act & ((in_h & (ph == PTR_LEFT)) | (st == ST_E))
+            op = np.where(
+                act_m, OP_M, np.where(act_i, OP_I, np.where(act_d, OP_D, 255))
+            ).astype(np.uint8)
+            ops_rev_cols.append(op)
+            st = np.where(
+                act_m,
+                ST_H,
+                np.where(
+                    act_i,
+                    np.where(ext_f, ST_F, ST_H),
+                    np.where(act_d, np.where(ext_e, ST_E, ST_H), st),
+                ),
+            )
+            i = i - (act_m | act_i)
+            j = j - (act_m | act_d)
+        ci -= 1
+
+    results = []
+    ops_mat = (
+        np.stack(ops_rev_cols, axis=1) if ops_rev_cols else np.zeros((B, 0), np.uint8)
+    )
+    for b in range(B):
+        row = ops_mat[b]
+        row = row[row != 255]
+        cigar = ops_to_cigar(row[::-1])
+        results.append(
+            AlignResult(int(scores[b]), 0, int(qlen[b]), 0, int(tlen[b]), cigar)
+        )
+    return results

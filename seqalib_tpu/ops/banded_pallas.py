@@ -1,0 +1,329 @@
+"""Banded affine-gap NW Pallas kernel — the O(n·w) long-read path (config 4).
+
+BASELINE.json:10: banded affine NW on 10-100kb pairs, band-width sweep,
+checkpointed traceback.  The full-matrix wavefront kernel
+(`wavefront_pallas`) carries O(n)-wide diagonal state — impossible at 100kb
+(VMEM).  This kernel carries *band-local* state: on anti-diagonal ``k`` the
+in-band cells are ``i ∈ [ihat(k), ihat(k) + D/2 + 1]`` where
+``ihat(k) = max(0, floor((k - dhi + 1) / 2))`` and ``D = dhi - dlo + 1`` is
+the band's diagonal span (j - i steps by 2 along an anti-diagonal, so only
+``D/2 + 1`` band slots exist per anti-diagonal).  State vectors are
+``(B, Wp)`` with ``Wp = ceil(D/2 + 2, 128)``: O(w), length-independent.
+
+Slot mapping ``p = i - ihat(k)``.  One diagonal step advances ``ihat`` by
+``Δ1 = ihat(k) - ihat(k-1) ∈ {0,1}`` (a runtime scalar; ``pltpu.roll``
+accepts dynamic shifts), so neighbor access is a ±1/0 lane roll; the
+query/target letter windows slide with the band via shift+insert.
+
+Structure: 1-D grid over ``CK``-diagonal chunks; band state persists in
+VMEM scratch across sequential grid steps; per chunk the kernel can emit
+(a) a state snapshot (the *checkpoint* for checkpointed traceback,
+BASELINE.json:5) and/or (b) the packed pointer block for that chunk,
+both streamed to HBM through blocked output specs.
+
+Scoring is scalar match/mismatch (DNA — the long-read domain of config 4);
+substitution-matrix banded alignment falls back to the full-matrix kernel.
+
+Driver: `seqalib_tpu.models.banded`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import NEG_INF, PTR_DIAG, PTR_LEFT, PTR_STOP, PTR_UP
+
+_EXT_E_BIT = 2
+_EXT_F_BIT = 3
+
+LANES = 128
+N_STATE = 6  # H1, H2, E, F, QW, TW
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _band_kernel(
+    qk_ref,  # (B, Lqp) i32: qk[:, x] = q[x-1] (sentinel outside [1, qlen])
+    tk_ref,  # (B, Ltp) i32: tk[:, x] = t[x-1] (sentinel outside)
+    qlenc_ref,  # (B, 128) i32
+    tlenc_ref,  # (B, 128) i32
+    state_in_ref,  # (N_STATE, B, Wp) i32 resume state
+    score_ref,  # (B, Wp) i32 masked final-score capture (accumulating)
+    state_out_ref,  # (N_STATE, B, Wp) i32 state after the last diagonal
+    ckpt_ref,  # (1, N_STATE, B, Wp) i32 per-chunk snapshot (chunk start)
+    ptr_ref,  # (CK, B, Wp) i8 pointer block (dummy (1,B,Wp) if !want_ptr)
+    *state_scratch,  # N_STATE x (B, Wp) i32
+    CK: int,
+    NSUB: int,
+    k_start: int,
+    k_end: int,
+    K: int,
+    B: int,
+    Wp: int,
+    dlo: int,
+    dhi: int,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_extend: int,
+    want_ptr: bool,
+    want_ckpt: bool,
+):
+    g = pl.program_id(0)
+    o, e = gap_open, gap_extend
+    NEG = jnp.int32(NEG_INF)
+    parr = jax.lax.broadcasted_iota(jnp.int32, (B, Wp), 1)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
+    qlenv = qlenc_ref[:, 0:1]
+    tlenv = tlenc_ref[:, 0:1]
+
+    @pl.when(g == 0)
+    def _init():
+        for a in range(N_STATE):
+            state_scratch[a][:] = state_in_ref[a, :, :]
+        score_ref[:] = jnp.full((B, Wp), NEG, jnp.int32)
+
+    if want_ckpt:
+        # checkpoint = state entering this chunk (diagonal k0 = chunk start)
+        for a in range(N_STATE):
+            ckpt_ref[0, a, :, :] = state_scratch[a][:]
+
+    def ihat(k):
+        return jnp.maximum(0, (k - dhi + 1) // 2)
+
+    def col(ref, x):
+        """(B, 1) letter ref[:, x] via aligned-block load + mask-reduce."""
+        xs = jnp.maximum(x, 0)
+        off = pl.multiple_of((xs // LANES) * LANES, LANES)
+        blk = ref[:, pl.ds(off, LANES)]
+        return jnp.sum(jnp.where(lane128 == (xs - off), blk, 0), axis=1, keepdims=True)
+
+    def substep(k, st):
+        H1, H2, E1, F1, QW, TW = st
+        live = k < K
+
+        ih = ihat(k)
+        d1 = ih - ihat(k - 1)  # {0, 1}
+        d2 = ih - ihat(k - 2)  # {0, 1, 2}
+
+        # letter windows (QW[p] = q[ih+p-1], TW[p] = t[k-ih-p-1])
+        QW = pltpu.roll(QW, -d1, axis=1)
+        qtop = col(qk_ref, ih + Wp - 1)
+        QW = jnp.where(parr == Wp - 1, jnp.broadcast_to(qtop, (B, Wp)), QW)
+        TW = pltpu.roll(TW, 1 - d1, axis=1)
+        tlow = col(tk_ref, k - ih)
+        TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
+
+        ivec = ih + parr
+        jvec = k - ivec
+        s_vec = jnp.where(QW == TW, jnp.int32(match), jnp.int32(mismatch))
+
+        # neighbors: l = H[k-1][p+d1], u = H[k-1][p+d1-1], d = H[k-2][p+d2-1]
+        Hl = pltpu.roll(H1, -d1, axis=1)
+        Hu = pltpu.roll(H1, 1 - d1, axis=1)
+        Hd = pltpu.roll(H2, 1 - d2, axis=1)
+        El = pltpu.roll(E1, -d1, axis=1)
+        Fu = pltpu.roll(F1, 1 - d1, axis=1)
+
+        oe = jnp.int32(o + e)
+        E_ext = El + e
+        E_opn = Hl + oe
+        ext_e = E_ext >= E_opn  # tie-break: extend > open
+        En = jnp.maximum(E_ext, E_opn)
+        F_ext = Fu + e
+        F_opn = Hu + oe
+        ext_f = F_ext >= F_opn
+        Fn = jnp.maximum(F_ext, F_opn)
+        d = Hd + s_vec
+        best = jnp.maximum(jnp.maximum(d, Fn), En)
+        ptr = jnp.where(d == best, PTR_DIAG, jnp.where(Fn == best, PTR_UP, PTR_LEFT))
+        Hn = best
+
+        origin = (k == 0) & (ivec == 0)
+        Hn = jnp.where(origin, 0, Hn)
+        ptr = jnp.where(origin, PTR_STOP, ptr)
+
+        # out-of-band / out-of-matrix cells are exactly NEG (oracle parity)
+        dkj = jvec - ivec
+        ok = (
+            (dkj >= dlo)
+            & (dkj <= dhi)
+            & (ivec >= 0)
+            & (ivec <= qlenv)
+            & (jvec >= 0)
+            & (jvec <= tlenv)
+        )
+        ok = ok & ~origin
+        Hn = jnp.where(origin, 0, jnp.where(ok, Hn, NEG))
+        En = jnp.where(ok, En, NEG)
+        Fn = jnp.where(ok, Fn, NEG)
+
+        fin = (k == (qlenv + tlenv)) & (ivec == qlenv) & live
+        score_ref[:] = jnp.where(fin, Hn, score_ref[:])
+
+        if want_ptr:
+            # pack in int32 (Mosaic can't legalize shifts on int8 vectors)
+            pword = (
+                ptr
+                + ext_e.astype(jnp.int32) * (1 << _EXT_E_BIT)
+                + ext_f.astype(jnp.int32) * (1 << _EXT_F_BIT)
+            )
+            ptr_ref[k - k_start - g * CK, :, :] = pword.astype(jnp.int8)
+
+        return (Hn, H1, En, Fn, QW, TW)
+
+    def group(gi, st):
+        k0 = k_start + g * CK + gi * NSUB
+        for u in range(NSUB):
+            st = substep(k0 + u, st)
+        return st
+
+    st0 = tuple(state_scratch[a][:] for a in range(N_STATE))
+    stN = jax.lax.fori_loop(0, CK // NSUB, group, st0)
+    for a in range(N_STATE):
+        state_scratch[a][:] = stN[a]
+
+    last = g == pl.num_programs(0) - 1
+
+    @pl.when(last)
+    def _out():
+        for a in range(N_STATE):
+            state_out_ref[a, :, :] = stN[a]
+
+
+def init_band_state(qk: np.ndarray, B: int, Wp: int) -> np.ndarray:
+    """Initial state entering diagonal 0: H/E/F = NEG; QW pre-filled with
+    the query's first Wp letters (the band's clamp phase never re-inserts
+    below the top slot), TW fills progressively via per-step inserts."""
+    st = np.full((N_STATE, B, Wp), NEG_INF, np.int32)
+    st[4] = np.asarray(qk)[:, :Wp]  # QW[p] = q[p-1] (slot 0 = sentinel)
+    st[5] = 0
+    return st
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_start",
+        "k_end",
+        "K",
+        "Wp",
+        "dlo",
+        "dhi",
+        "match",
+        "mismatch",
+        "gap_open",
+        "gap_extend",
+        "want_ptr",
+        "want_ckpt",
+        "CK",
+        "interpret",
+    ),
+)
+def band_fill_range(
+    qk,
+    tk,
+    qlen,
+    tlen,
+    state_in,
+    score_in,
+    *,
+    k_start,
+    k_end,
+    K,
+    Wp,
+    dlo,
+    dhi,
+    match,
+    mismatch,
+    gap_open,
+    gap_extend,
+    want_ptr,
+    want_ckpt,
+    CK,
+    interpret,
+):
+    """Fill anti-diagonals [k_start, k_end) resuming from state_in.
+
+    Returns (score, state_out, ckpts, ptrs):
+      score: (B, Wp) running masked capture (max-merged with score_in);
+      state_out: (N_STATE, B, Wp) state after diagonal k_end-1;
+      ckpts: (NC, N_STATE, B, Wp) state entering each CK-chunk;
+      ptrs: (NCHUNK*CK, B, Wp) i8 packed pointers (dummy if !want_ptr).
+    """
+    B = qk.shape[0]
+    NSUB = 4
+    span = _ceil_to(k_end - k_start, max(CK, NSUB))
+    NCHUNK = span // CK
+    grid = (NCHUNK,)
+
+    qlenc = jnp.broadcast_to(qlen[:, None].astype(jnp.int32), (B, LANES))
+    tlenc = jnp.broadcast_to(tlen[:, None].astype(jnp.int32), (B, LANES))
+
+    kernel = functools.partial(
+        _band_kernel,
+        CK=CK,
+        NSUB=NSUB,
+        k_start=k_start,
+        k_end=k_end,
+        K=K,
+        B=B,
+        Wp=Wp,
+        dlo=dlo,
+        dhi=dhi,
+        match=match,
+        mismatch=mismatch,
+        gap_open=gap_open,
+        gap_extend=gap_extend,
+        want_ptr=want_ptr,
+        want_ckpt=want_ckpt,
+    )
+
+    def cspec(shape):
+        return pl.BlockSpec(shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, Wp), jnp.int32),
+        jax.ShapeDtypeStruct((N_STATE, B, Wp), jnp.int32),
+        jax.ShapeDtypeStruct((NCHUNK, N_STATE, B, Wp), jnp.int32),
+        jax.ShapeDtypeStruct((NCHUNK * CK if want_ptr else 1, B, Wp), jnp.int8),
+    ]
+    out_specs = [
+        cspec((B, Wp)),
+        cspec((N_STATE, B, Wp)),
+        pl.BlockSpec(
+            (1, N_STATE, B, Wp), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        (
+            pl.BlockSpec((CK, B, Wp), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+            if want_ptr
+            else cspec((1, B, Wp))
+        ),
+    ]
+
+    score, state_out, ckpts, ptrs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            cspec(qk.shape),
+            cspec(tk.shape),
+            cspec((B, LANES)),
+            cspec((B, LANES)),
+            cspec((N_STATE, B, Wp)),
+        ],
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((B, Wp), jnp.int32) for _ in range(N_STATE)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(qk, tk, qlenc, tlenc, state_in)
+    score = jnp.maximum(score, score_in)
+    return score, state_out, ckpts, ptrs

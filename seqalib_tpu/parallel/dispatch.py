@@ -111,6 +111,35 @@ def dispatch_batch(
 ) -> List[AlignResult]:
     """Align all pairs; returns results in input order."""
     n_pairs = len(qs)
+    if (
+        band is not None
+        and backend == "pallas"
+        and sp.matrix is None
+        and mode == "global"
+        and mesh is None
+    ):
+        # long-read path: O(n*w) banded kernel + checkpointed traceback
+        # (models.banded); pairs grouped by length delta so band geometry
+        # is uniform per kernel call.
+        from ..models.banded import banded_align_batch
+
+        groups: Dict[int, List[int]] = {}
+        for idx, (q, t) in enumerate(zip(qs, ts)):
+            groups.setdefault(len(t) - len(q), []).append(idx)
+        results: List[Optional[AlignResult]] = [None] * n_pairs
+        for delta, idxs in sorted(groups.items()):
+            Lq = max(len(qs[i]) for i in idxs)
+            Lt = max(len(ts[i]) for i in idxs)
+            qb = _pad_stack([qs[i] for i in idxs], Lq)
+            tb = _pad_stack([ts[i] for i in idxs], Lt)
+            qlen = np.array([len(qs[i]) for i in idxs], np.int64)
+            tlen = np.array([len(ts[i]) for i in idxs], np.int64)
+            res = banded_align_batch(
+                qb, tb, qlen, tlen, sp, band, traceback=traceback
+            )
+            for r, idx in enumerate(idxs):
+                results[idx] = res[r]
+        return results  # type: ignore[return-value]
     if mesh is not None and pad_batch_to == 1:
         from .dist import PAIR_AXIS
 

@@ -1,0 +1,99 @@
+"""Banded long-read path (config 4): Pallas banded kernel + checkpointed
+traceback vs the oracle's banded Gotoh recurrence (SURVEY.md §2.2-4).
+
+Runs in interpret mode on the conftest-forced CPU backend.
+"""
+
+import numpy as np
+import pytest
+
+from seqalib_tpu.models.banded import banded_align_batch
+from seqalib_tpu.oracle import nw_affine
+from seqalib_tpu.types import ScoringParams
+
+SP = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+
+
+def _random_bucket(rng, qlens, tlens):
+    B, n, m = len(qlens), max(qlens), max(tlens)
+    qs = np.zeros((B, n), np.int32)
+    ts = np.zeros((B, m), np.int32)
+    for b in range(B):
+        qs[b, : qlens[b]] = rng.integers(0, 4, qlens[b])
+        ts[b, : tlens[b]] = rng.integers(0, 4, tlens[b])
+    return qs, ts, np.asarray(qlens), np.asarray(tlens)
+
+
+def _check(rng, qlens, tlens, band, CK):
+    qs, ts, qlen, tlen = _random_bucket(rng, qlens, tlens)
+    res = banded_align_batch(qs, ts, qlen, tlen, SP, band, traceback=True, CK=CK)
+    for b in range(len(qlens)):
+        ref = nw_affine(qs[b][: qlens[b]], ts[b][: tlens[b]], SP, band=band)
+        assert str(res[b]) == str(ref), (b, res[b], ref)
+
+
+@pytest.mark.parametrize(
+    "qlens,tlens,band,CK",
+    [
+        ([64, 64], [64, 64], 12, 32),  # square, delta 0
+        ([50, 40, 30], [54, 44, 34], 6, 16),  # mixed lengths, uniform delta
+        ([40], [30], 8, 16),  # negative delta (target shorter)
+        ([33], [47], 16, 20),  # band wider than needed
+        ([17], [19], 3, 8),  # tiny
+    ],
+)
+def test_banded_parity(rng, qlens, tlens, band, CK):
+    _check(rng, qlens, tlens, band, CK)
+
+
+def test_banded_mutated_copy(rng):
+    """Realistic long-read case: target = query with SNPs + indels."""
+    n = 192
+    q = rng.integers(0, 4, n).astype(np.int32)
+    t = q.copy()
+    idx = rng.choice(n, 16, replace=False)
+    t[idx] = (t[idx] + 1 + rng.integers(0, 3, 16)) % 4
+    t = np.delete(t, [50, 51, 52])
+    t = np.insert(t, 120, [0, 1]).astype(np.int32)
+    res = banded_align_batch(
+        q[None, :],
+        t[None, :],
+        np.array([n]),
+        np.array([len(t)]),
+        SP,
+        band=10,
+        traceback=True,
+        CK=48,
+    )
+    ref = nw_affine(q, t, SP, band=10)
+    assert str(res[0]) == str(ref)
+
+
+def test_banded_score_only(rng):
+    qs, ts, qlen, tlen = _random_bucket(rng, [48, 48], [52, 52])
+    res = banded_align_batch(qs, ts, qlen, tlen, SP, band=8, traceback=False, CK=32)
+    for b in range(2):
+        ref = nw_affine(qs[b], ts[b], SP, band=8)
+        assert res[b].score == ref.score
+
+
+def test_banded_matches_unbanded_when_wide(rng):
+    """Property (SURVEY.md §4.3): banded(w >= max(n, m)) == full matrix."""
+    qs, ts, qlen, tlen = _random_bucket(rng, [40], [44])
+    res = banded_align_batch(qs, ts, qlen, tlen, SP, band=64, traceback=True, CK=32)
+    ref = nw_affine(qs[0], ts[0], SP, band=None)
+    assert res[0].score == ref.score
+    assert res[0].cigar == ref.cigar
+
+
+def test_banded_rejects_mixed_delta(rng):
+    qs, ts, qlen, tlen = _random_bucket(rng, [30, 30], [34, 32])
+    with pytest.raises(ValueError):
+        banded_align_batch(qs, ts, qlen, tlen, SP, band=8)
+
+
+def test_banded_rejects_matrix_scoring(rng):
+    sp = ScoringParams.blosum62()
+    qs, ts, qlen, tlen = _random_bucket(rng, [16], [16])
+    with pytest.raises(NotImplementedError):
+        banded_align_batch(qs, ts, qlen, tlen, sp, band=4)
