@@ -1,0 +1,634 @@
+"""Strip-tiled wavefront kernel v2 — the high-throughput local score path.
+
+Why v1 is slow: `wavefront_pallas` carries full-length diagonal vectors
+(O(n) lanes x 7-12 arrays).  At 1kb that is ~100 vregs of live state per
+substep — far beyond the register file — so every diagonal step spills to
+and refills from VMEM and the kernel runs VMEM-bandwidth-bound (~10 GCUPS
+measured, B=32 BLOSUM62 affine).
+
+v2 tiles the DP matrix into horizontal *strips* of TI=128 query rows (the
+GPU intra-tile scheme of SaLoBa-class aligners, PAPERS.md:6, re-mapped to
+the 8x128 VPU): one (8,128) vreg spans 8 pairs x 128 strip rows, so EVERY
+carried array is exactly one vreg and the whole wavefront working set is
+register-resident.  The inner loop touches VMEM only once per 128 steps
+(one aligned block load per boundary buffer + one store per collector).
+
+Strips are sequential (strip s+1's lane 0 depends on strip s's bottom
+row, exchanged through boundary buffers); 8-pair groups ride the grid's
+outer dimension.
+
+Geometry (per strip s, rows i in [s*TI+1, (s+1)*TI]):
+  lane p <-> DP row i = s*TI + p + 1; at step k (k >= 0) lane p computes
+  column j = k - p.  Dependencies: left (i, j-1) = same lane, step k-1;
+  up (i-1, j) = lane p-1, step k-1 (lane 0: boundary value, column j=k);
+  diag (i-1, j-1) = lane p-1, step k-2 (lane 0: boundary column k-1).
+
+Lane-0/lane-127 traffic avoids cross-lane reductions entirely:
+
+* Boundary *feeders*: per 128-step block, each boundary buffer's aligned
+  128-column window is loaded once into a register that is rolled by -1
+  every step, so its lane 0 always holds column k.  The diag feeder is
+  simply the previous step's un-rolled up feeder (lane 0 = column k-1) —
+  carried across block boundaries, where the up feeder is re-loaded.
+* Rotating *collectors*: the bottom row's (lane 127) value self-aligns:
+  C = where(lane==127, X, roll(C, -1)).  After the step with
+  u == 126 the collector holds exactly the aligned 128-column window
+  (b-1) in ascending column order and is flushed with one vreg store.
+
+Substitution scoring (BLOSUM62) uses a *packed nibble profile*: biased
+scores (s + 4, fitting 4 bits for the BLOSUM62 range [-4, 11]) of 8
+letters packed per int32, 4 groups covering 32 letters:
+  s(q_i, w) = ((PP[w>>3][i] >> ((w & 7) * 4)) & 0xF) - 4
+— 3 group-selects + a vector-by-vector shift, ~9 ops, no gathers.  Tables
+whose score span exceeds 15 fall back to a select cascade over per-letter
+profile rows.
+
+Scope: score + end coords (+ optionally traceback-exact start coords) for
+LOCAL alignment, linear or affine gap — the headline benchmark path
+(BASELINE.json:2, configs 2-3).  Global mode and traceback stay on
+`wavefront_pallas`.
+
+Tie-break parity with the oracle (oracle.sw_linear / sw_affine):
+  * cascades DIAG > UP(F) > LEFT(E), extend >= open;
+  * per-lane best keeps the FIRST maximum in (i, j) scan order (strict >),
+    and the host reduces score = max(BV), packed = min(BK | BV == score),
+    which is exactly the canonical smallest-i-then-smallest-j rule since
+    packed = i*(m+1)+j.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..types import NEG_INF
+
+LANES = 128
+SUBLANES = 8
+TI = 128  # strip height == lane count
+NSUB = 8  # substeps unrolled per inner fori iteration
+NIBBLE_BIAS = 4  # packed-profile bias; tables must fit [-4, 11]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _state_names(affine: bool, want_starts: bool):
+    """Persistent (across blocks) SSA carry set.  DF/SDF are the diag
+    feeders (previous step's up feeder)."""
+    names = ["H1", "H2", "E1", "F1", "W", "BV", "BK", "CH", "CF", "DF"]
+    if not affine:
+        names = [n for n in names if n not in ("E1", "F1", "CF")]
+    if want_starts:
+        names += ["SH1", "SH2", "SE1", "SF1", "CSH", "CSF", "SDF", "BS"]
+        if not affine:
+            names = [n for n in names if n not in ("SE1", "SF1", "CSF")]
+    return names
+
+
+def _feeder_names(affine: bool, want_starts: bool):
+    names = ["TF", "HF"]
+    if affine:
+        names.append("FF")
+    if want_starts:
+        names.append("SHF")
+        if want_starts and affine:
+            names.append("SFF")
+    return names
+
+
+def _strip_kernel(
+    *refs,
+    BSUB: int,
+    S: int,
+    NB: int,
+    mq: int,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_extend: int,
+    affine: bool,
+    profile: bool,
+    packed: bool,
+    A1: int,
+    want_starts: bool,
+):
+    it = iter(refs)
+    q_ref = next(it)  # (8, TI) strip query letters (0-based strip rows)
+    t2_ref = next(it)  # (8, W2) target letters at x: t2[x] = t[x-1]
+    qlenc_ref = next(it)
+    tlenc_ref = next(it)
+    prof_ref = next(it) if profile else None  # (8, 4, TI) packed | (8, 32, TI)
+    bv_ref = next(it)
+    bk_ref = next(it)
+    bs_ref = next(it) if want_starts else None
+    hbot = next(it)  # (8, W2) scratch: bottom-row H by column position
+    fbot = next(it) if affine else None
+    shbot = next(it) if want_starts else None
+    sfbot = next(it) if (want_starts and affine) else None
+    bv_scr = next(it)
+    bk_scr = next(it)
+    bs_scr = next(it) if want_starts else None
+
+    s = pl.program_id(1)
+    NEG = jnp.int32(NEG_INF)
+    ee = jnp.int32(gap_extend)
+    oe = jnp.int32(gap_open + gap_extend)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BSUB, LANES), 1)
+    qlenv = qlenc_ref[:, 0:1]
+    tlenv = tlenc_ref[:, 0:1]
+    i0 = s * TI
+    stride = mq + 1
+    ivec = i0 + lane + 1
+    ipack = ivec * stride
+    irow_ok = ivec <= qlenv
+    names = _state_names(affine, want_starts)
+    fnames = _feeder_names(affine, want_starts)
+
+    @pl.when(s == 0)
+    def _reset():
+        # DP row 0 of a local alignment: H = 0, F = -inf; row-0 cells are
+        # STOP cells whose start pack is 0*stride + j = position index.
+        hbot[:] = jnp.zeros_like(hbot)
+        if affine:
+            fbot[:] = jnp.full_like(fbot, NEG)
+        if want_starts:
+            shbot[:] = jax.lax.broadcasted_iota(jnp.int32, shbot.shape, 1)
+            if affine:
+                sfbot[:] = jnp.zeros_like(sfbot)
+        bv_scr[:] = jnp.zeros_like(bv_scr)
+        bk_scr[:] = jnp.zeros_like(bk_scr)
+        if want_starts:
+            bs_scr[:] = jnp.zeros_like(bs_scr)
+
+    if profile:
+        if packed:
+            pp = [prof_ref[:, g, :] for g in range(4)]
+        else:
+            prof_rows = [prof_ref[:, a, :] for a in range(A1)]
+
+    def subst(Wv):
+        if not profile:
+            return jnp.where(q_ref[:] == Wv, jnp.int32(match), jnp.int32(mismatch))
+        if packed:
+            hi = Wv >> 3
+            grp = jnp.where(
+                hi == 0, pp[0], jnp.where(hi == 1, pp[1], jnp.where(hi == 2, pp[2], pp[3]))
+            )
+            return ((grp >> ((Wv & 7) * 4)) & 0xF) - NIBBLE_BIAS
+        sv = jnp.zeros((BSUB, LANES), jnp.int32)
+        for a in range(A1):
+            sv = jnp.where(Wv == a, prof_rows[a], sv)
+        return sv
+
+    lane0 = lane == 0
+    lane_last = lane == TI - 1
+
+    def substep(k, st, lean):
+        """One anti-diagonal step.  st: dict of (8,128) SSA values.
+        lean=True skips left-of-matrix masking (valid once k >= TI)."""
+        Wv = jnp.where(lane0, st["TF"], pltpu.roll(st["W"], 1, axis=1))
+        s_vec = subst(Wv)
+        H1u = jnp.where(lane0, st["HF"], pltpu.roll(st["H1"], 1, axis=1))
+        H2d = jnp.where(lane0, st["DF"], pltpu.roll(st["H2"], 1, axis=1))
+        d = H2d + s_vec
+
+        nxt = {
+            "H2": st["H1"],
+            "W": Wv,
+            "DF": st["HF"],
+            "TF": pltpu.roll(st["TF"], LANES - 1, axis=1),
+            "HF": pltpu.roll(st["HF"], LANES - 1, axis=1),
+        }
+
+        if affine:
+            E_ext = st["E1"] + ee
+            E_opn = st["H1"] + oe
+            En = jnp.maximum(E_ext, E_opn)
+            F1u = jnp.where(lane0, st["FF"], pltpu.roll(st["F1"], 1, axis=1))
+            nxt["FF"] = pltpu.roll(st["FF"], LANES - 1, axis=1)
+            F_ext = F1u + ee
+            F_opn = H1u + oe
+            Fn = jnp.maximum(F_ext, F_opn)
+            up_v, left_v = Fn, En
+        else:
+            up_v = H1u + ee
+            left_v = st["H1"] + ee
+        best = jnp.maximum(jnp.maximum(d, up_v), left_v)
+        Hn = jnp.maximum(best, 0)
+
+        if not lean:
+            jvec = k - lane
+            jout = jvec <= 0
+            Hn = jnp.where(jout, 0, Hn)
+            if affine:
+                En = jnp.where(jout, NEG, En)
+                Fn = jnp.where(jout, NEG, Fn)
+        if affine:
+            nxt["E1"] = En
+            nxt["F1"] = Fn
+        nxt["H1"] = Hn
+
+        if want_starts:
+            SH1u = jnp.where(lane0, st["SHF"], pltpu.roll(st["SH1"], 1, axis=1))
+            SH2d = jnp.where(lane0, st["SDF"], pltpu.roll(st["SH2"], 1, axis=1))
+            nxt["SDF"] = st["SHF"]
+            nxt["SHF"] = pltpu.roll(st["SHF"], LANES - 1, axis=1)
+            if affine:
+                SF1u = jnp.where(lane0, st["SFF"], pltpu.roll(st["SF1"], 1, axis=1))
+                nxt["SFF"] = pltpu.roll(st["SFF"], LANES - 1, axis=1)
+                SEn = jnp.where(E_ext >= E_opn, st["SE1"], st["SH1"])
+                SFn = jnp.where(F_ext >= F_opn, SF1u, SH1u)
+                up_s, left_s = SFn, SEn
+                nxt["SE1"] = SEn
+                nxt["SF1"] = SFn
+            else:
+                up_s, left_s = SH1u, st["SH1"]
+            SHn = jnp.where(d == best, SH2d, jnp.where(up_v == best, up_s, left_s))
+            pack = ipack + (k - lane)
+            stopm = best <= 0
+            if not lean:
+                stopm = stopm | jout
+            SHn = jnp.where(stopm, pack, SHn)
+            nxt["SH1"] = SHn
+            nxt["SH2"] = st["SH1"]
+
+        # best tracking (strict > keeps first max in (i, j) scan order)
+        jvec2 = k - lane
+        valid = irow_ok & (jvec2 <= tlenv)
+        if not lean:
+            valid = valid & (jvec2 >= 1)
+        v = jnp.where(valid, Hn, 0)
+        upd = v > st["BV"]
+        nxt["BV"] = jnp.where(upd, v, st["BV"])
+        nxt["BK"] = jnp.where(upd, ipack + jvec2, st["BK"])
+        if want_starts:
+            nxt["BS"] = jnp.where(upd, SHn, st["BS"])
+
+        # rotating collectors: lane 127's value self-aligns into the
+        # ascending-column window layout (see module docstring)
+        nxt["CH"] = jnp.where(lane_last, Hn, pltpu.roll(st["CH"], LANES - 1, axis=1))
+        if affine:
+            nxt["CF"] = jnp.where(lane_last, Fn, pltpu.roll(st["CF"], LANES - 1, axis=1))
+        if want_starts:
+            nxt["CSH"] = jnp.where(lane_last, SHn, pltpu.roll(st["CSH"], LANES - 1, axis=1))
+            if affine:
+                nxt["CSF"] = jnp.where(
+                    lane_last, SFn, pltpu.roll(st["CSF"], LANES - 1, axis=1)
+                )
+        return nxt
+
+    def load_feeders(b):
+        off = pl.multiple_of(b * LANES, LANES)
+        fd = {"TF": t2_ref[:, pl.ds(off, LANES)], "HF": hbot[:, pl.ds(off, LANES)]}
+        if affine:
+            fd["FF"] = fbot[:, pl.ds(off, LANES)]
+        if want_starts:
+            fd["SHF"] = shbot[:, pl.ds(off, LANES)]
+            if affine:
+                fd["SFF"] = sfbot[:, pl.ds(off, LANES)]
+        return fd
+
+    def flush(b, st):
+        @pl.when(b >= 1)
+        def _():
+            off = pl.multiple_of((b - 1) * LANES, LANES)
+            hbot[:, pl.ds(off, LANES)] = st["CH"]
+            if affine:
+                fbot[:, pl.ds(off, LANES)] = st["CF"]
+            if want_starts:
+                shbot[:, pl.ds(off, LANES)] = st["CSH"]
+                if affine:
+                    sfbot[:, pl.ds(off, LANES)] = st["CSF"]
+
+    all_names = names + fnames
+
+    def block_body(b, st_tuple, lean):
+        st = dict(zip(all_names, st_tuple))
+        st.update(load_feeders(b))
+        k0 = b * LANES
+
+        def group(gi, st_tuple):
+            st = dict(zip(all_names, st_tuple))
+            for uu in range(NSUB):
+                st = substep(k0 + gi * NSUB + uu, st, lean)
+            return tuple(st[n] for n in all_names)
+
+        st_tuple = jax.lax.fori_loop(
+            0, (LANES - NSUB) // NSUB, group, tuple(st[n] for n in all_names)
+        )
+        st = dict(zip(all_names, st_tuple))
+        for uu in range(NSUB - 1):
+            st = substep(k0 + LANES - NSUB + uu, st, lean)
+        flush(b, st)
+        st = substep(k0 + LANES - 1, st, lean)
+        return tuple(st[n] for n in all_names)
+
+    def init_state():
+        st = {}
+        for n in all_names:
+            if n in ("E1", "F1"):
+                st[n] = jnp.full((BSUB, LANES), NEG, jnp.int32)
+            elif n == "BV":
+                st[n] = bv_scr[:]
+            elif n == "BK":
+                st[n] = bk_scr[:]
+            elif n == "BS":
+                st[n] = bs_scr[:]
+            else:
+                st[n] = jnp.zeros((BSUB, LANES), jnp.int32)
+        return tuple(st[n] for n in all_names)
+
+    # block 0 carries the left-of-matrix boundary (j <= 0 lanes); every
+    # later block is past it and runs the lean body.
+    st_tuple = block_body(0, init_state(), lean=False)
+    st_tuple = jax.lax.fori_loop(
+        1, NB, lambda b, t: block_body(b, t, lean=True), st_tuple
+    )
+    st = dict(zip(all_names, st_tuple))
+    bv_scr[:] = st["BV"]
+    bk_scr[:] = st["BK"]
+    if want_starts:
+        bs_scr[:] = st["BS"]
+
+    @pl.when(s == S - 1)
+    def _out():
+        bv_ref[:] = st["BV"]
+        bk_ref[:] = st["BK"]
+        if want_starts:
+            bs_ref[:] = st["BS"]
+
+
+def _build_profile_packed(qpad: jax.Array, table: jax.Array) -> jax.Array:
+    """(B, 4, n_pad) i32 packed nibble profile:
+    PP[b, g, i] packs (table[qpad[b,i], 8g+r] + NIBBLE_BIAS) << 4r, r<8."""
+    A1 = table.shape[0]
+    tpad = jnp.full((32, 32), -NIBBLE_BIAS, jnp.int32)
+    tpad = tpad.at[:A1, :A1].set(table.astype(jnp.int32))
+    shifts = jnp.arange(8, dtype=jnp.int32) * 4
+    packed = (
+        ((tpad + NIBBLE_BIAS).reshape(32, 4, 8) << shifts[None, None, :])
+        .sum(axis=2)
+        .astype(jnp.int32)
+    )  # (32 letters, 4 groups)
+    qoh = jax.nn.one_hot(qpad, 32, dtype=jnp.float32)  # (B, n_pad, 32)
+    # float matmuls can't hold full 32-bit packed values exactly (> 2^24);
+    # gather via two 16-bit planes, each exact in f32, and recombine.
+    lo = jnp.einsum("bia,ag->bgi", qoh, (packed & 0xFFFF).astype(jnp.float32))
+    hi = jnp.einsum(
+        "bia,ag->bgi", qoh, ((packed >> 16) & 0xFFFF).astype(jnp.float32)
+    )
+    return (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
+
+
+def _build_profile_rows(qpad: jax.Array, table: jax.Array) -> jax.Array:
+    """(B, 32, n_pad) i32: prof[b, a, i] = table[qpad[b, i], a]."""
+    A1 = table.shape[0]
+    tpad = jnp.zeros((32, 32), jnp.int32).at[:A1, :A1].set(table.astype(jnp.int32))
+    qoh = jax.nn.one_hot(qpad, 32, dtype=jnp.bfloat16)
+    prof = jnp.einsum("bia,ac->bci", qoh, tpad.astype(jnp.bfloat16))
+    return prof.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "BSUB",
+        "mq",
+        "match",
+        "mismatch",
+        "gap_open",
+        "gap_extend",
+        "affine",
+        "profile",
+        "packed",
+        "A1",
+        "want_starts",
+        "interpret",
+    ),
+)
+def _strip_fill(
+    qpad,
+    t2,
+    qlen,
+    tlen,
+    table,
+    *,
+    BSUB,
+    mq,
+    match,
+    mismatch,
+    gap_open,
+    gap_extend,
+    affine,
+    profile,
+    packed,
+    A1,
+    want_starts,
+    interpret,
+):
+    B, n_pad = qpad.shape
+    W2 = t2.shape[1]
+    S = n_pad // TI
+    GB = B // BSUB
+    NB = (W2 - LANES) // LANES
+
+    qlenc = jnp.broadcast_to(qlen[:, None].astype(jnp.int32), (B, LANES))
+    tlenc = jnp.broadcast_to(tlen[:, None].astype(jnp.int32), (B, LANES))
+
+    kernel = functools.partial(
+        _strip_kernel,
+        BSUB=BSUB,
+        S=S,
+        NB=NB,
+        mq=mq,
+        match=match,
+        mismatch=mismatch,
+        gap_open=gap_open,
+        gap_extend=gap_extend,
+        affine=affine,
+        profile=profile,
+        packed=packed,
+        A1=A1,
+        want_starts=want_starts,
+    )
+
+    inputs = [qpad, t2, qlenc, tlenc]
+    in_specs = [
+        pl.BlockSpec((BSUB, TI), lambda gb, s: (gb, s), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BSUB, W2), lambda gb, s: (gb, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BSUB, LANES), lambda gb, s: (gb, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BSUB, LANES), lambda gb, s: (gb, 0), memory_space=pltpu.VMEM),
+    ]
+    if profile:
+        if packed:
+            inputs.append(_build_profile_packed(qpad, table))
+            in_specs.append(
+                pl.BlockSpec(
+                    (BSUB, 4, TI), lambda gb, s: (gb, 0, s), memory_space=pltpu.VMEM
+                )
+            )
+        else:
+            inputs.append(_build_profile_rows(qpad, table))
+            in_specs.append(
+                pl.BlockSpec(
+                    (BSUB, 32, TI),
+                    lambda gb, s: (gb, 0, s),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+
+    n_out = 3 if want_starts else 2
+    out_shapes = [jax.ShapeDtypeStruct((B, LANES), jnp.int32)] * n_out
+    out_specs = [
+        pl.BlockSpec((BSUB, LANES), lambda gb, s: (gb, 0), memory_space=pltpu.VMEM)
+    ] * n_out
+
+    scratch = [pltpu.VMEM((BSUB, W2), jnp.int32)]  # hbot
+    if affine:
+        scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # fbot
+    if want_starts:
+        scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # shbot
+        if affine:
+            scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # sfbot
+    scratch += [pltpu.VMEM((BSUB, LANES), jnp.int32)] * n_out
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(GB, S),
+        in_specs=in_specs,
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(*inputs)
+    res = {"bv": outs[0], "bk": outs[1]}
+    if want_starts:
+        res["bs"] = outs[2]
+    return res
+
+
+def strip_bucket(
+    q,
+    t,
+    qlen,
+    tlen,
+    table,
+    *,
+    mode,
+    gap_open,
+    gap_extend,
+    band=None,
+    affine=None,
+    want_tb=False,
+    want_starts=True,
+    BSUB=None,
+):
+    """Score/coords local alignment via the strip kernel.
+
+    Same output contract as wavefront_pallas.pallas_bucket with
+    want_tb=False: dict of score/qs/qe/ts/te (B,) numpy arrays."""
+    assert mode == "local" and not want_tb and band is None
+    interpret = jax.devices()[0].platform != "tpu"
+    q = np.asarray(q)
+    t = np.asarray(t)
+    qlen = np.asarray(qlen)
+    tlen = np.asarray(tlen)
+    table_h = np.asarray(table)
+    B0, n = q.shape
+    m = t.shape[1]
+    if affine is None:
+        affine = gap_open != 0
+    if BSUB is None:
+        import os
+
+        BSUB = int(os.environ.get("SEQALIB_STRIP_BSUB", "32"))
+    BSUB = max(SUBLANES, min(BSUB, _ceil_to(max(B0, SUBLANES), SUBLANES)))
+
+    B = _ceil_to(max(B0, SUBLANES), BSUB)
+    if B != B0:
+        pad = B - B0
+        q = np.concatenate([q, np.repeat(q[:1], pad, 0)], axis=0)
+        t = np.concatenate([t, np.repeat(t[:1], pad, 0)], axis=0)
+        qlen = np.concatenate([qlen, np.repeat(qlen[:1], pad, 0)])
+        tlen = np.concatenate([tlen, np.repeat(tlen[:1], pad, 0)])
+
+    profile = bool(table_h.shape[0] > 8)
+    packed = bool(
+        profile
+        and table_h.min() >= -NIBBLE_BIAS
+        and table_h.max() <= 15 - NIBBLE_BIAS
+    )
+    match = int(table_h[0, 0])
+    mismatch = int(table_h[0, 1]) if table_h.shape[0] > 1 else match
+    A1 = int(table_h.shape[0])
+    SENT_Q, SENT_T = A1, A1 + 1
+
+    n_pad = _ceil_to(max(n, 1), TI)
+    m_pad = _ceil_to(max(m, 1), LANES)
+    NB = m_pad // LANES + 1
+    W2 = (NB + 1) * LANES
+
+    iarr = np.arange(n_pad)[None, :]
+    qpad = np.full((B, n_pad), SENT_Q, np.int32)
+    qpad[:, :n] = q
+    qpad = np.where(iarr < qlen[:, None], qpad, SENT_Q).astype(np.int32)
+
+    xarr = np.arange(W2)[None, :]
+    t2 = np.full((B, W2), SENT_T, np.int32)
+    t2[:, 1 : 1 + m] = t
+    t2 = np.where((xarr >= 1) & (xarr <= tlen[:, None]), t2, SENT_T).astype(np.int32)
+
+    res = _strip_fill(
+        jnp.asarray(qpad),
+        jnp.asarray(t2),
+        jnp.asarray(qlen),
+        jnp.asarray(tlen),
+        jnp.asarray(table_h),
+        BSUB=BSUB,
+        mq=m,
+        match=match,
+        mismatch=mismatch,
+        gap_open=gap_open,
+        gap_extend=gap_extend,
+        affine=bool(affine),
+        profile=profile,
+        packed=packed,
+        A1=A1,
+        want_starts=want_starts,
+        interpret=interpret,
+    )
+    bv = np.asarray(res["bv"])  # (B, 128)
+    bk = np.asarray(res["bk"])
+    stride = m + 1
+    score = bv.max(axis=1)
+    masked_bk = np.where(bv == score[:, None], bk, np.iinfo(np.int32).max)
+    lsel = masked_bk.argmin(axis=1)
+    barr = np.arange(B)
+    packed_best = bk[barr, lsel]
+    empty = score <= 0
+    qe = np.where(empty, 0, packed_best // stride)
+    te = np.where(empty, 0, packed_best % stride)
+    out = {
+        "score": score.astype(np.int32),
+        "qe": qe.astype(np.int32),
+        "te": te.astype(np.int32),
+    }
+    if want_starts:
+        bs = np.asarray(res["bs"])
+        spacked = bs[barr, lsel]
+        out["qs"] = np.where(empty, 0, spacked // stride).astype(np.int32)
+        out["ts"] = np.where(empty, 0, spacked % stride).astype(np.int32)
+    else:
+        out["qs"] = np.zeros(B, np.int32)
+        out["ts"] = np.zeros(B, np.int32)
+    return {k: v[:B0] for k, v in out.items()}

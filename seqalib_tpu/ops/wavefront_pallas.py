@@ -596,7 +596,27 @@ def pallas_bucket(
 
     Device fill + (when want_tb) host-side pointer walk.  Output dict matches
     wavefront_bucket: score/qs/qe/ts/te (+ ops_rev when want_tb).
+
+    The score/coords local path (no traceback, no band) routes to the
+    strip-tiled v2 kernel (strip_pallas), which is ~10x faster; everything
+    else stays on the full-diagonal v1 kernels in this module.
     """
+    if mode == "local" and not want_tb and band is None:
+        from .strip_pallas import strip_bucket
+
+        return strip_bucket(
+            q,
+            t,
+            qlen,
+            tlen,
+            table,
+            mode=mode,
+            gap_open=gap_open,
+            gap_extend=gap_extend,
+            band=band,
+            affine=affine,
+            want_tb=want_tb,
+        )
     interpret = jax.devices()[0].platform != "tpu"
     q = np.asarray(q)
     t = np.asarray(t)

@@ -1,0 +1,87 @@
+"""Strip-tiled v2 kernel parity vs oracle (score + start/end coords,
+local mode, linear + affine, DNA + BLOSUM62).  Interpret mode on the
+conftest-forced CPU backend."""
+
+import numpy as np
+import pytest
+
+from seqalib_tpu.ops.strip_pallas import strip_bucket
+from seqalib_tpu.oracle import sw_affine, sw_linear
+from seqalib_tpu.parallel.dispatch import sentinel_table
+from seqalib_tpu.types import ScoringParams
+
+DNA_AFF = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+DNA_LIN = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
+BLOS = ScoringParams.blosum62(gap_open=-10, gap_extend=-1)
+
+
+def _run(rng, sp, B, n, m, qlen=None, tlen=None):
+    alpha = 4 if sp.matrix is None else 20
+    q = rng.integers(0, alpha, (B, n)).astype(np.int32)
+    t = rng.integers(0, alpha, (B, m)).astype(np.int32)
+    qlen = np.full(B, n, np.int32) if qlen is None else np.asarray(qlen, np.int32)
+    tlen = np.full(B, m, np.int32) if tlen is None else np.asarray(tlen, np.int32)
+    out = strip_bucket(
+        q,
+        t,
+        qlen,
+        tlen,
+        sentinel_table(sp),
+        mode="local",
+        gap_open=sp.gap_open,
+        gap_extend=sp.gap_extend,
+    )
+    for b in range(B):
+        qq, tt = q[b][: qlen[b]], t[b][: tlen[b]]
+        ref = sw_affine(qq, tt, sp) if sp.is_affine else sw_linear(qq, tt, sp)
+        got = (
+            out["score"][b],
+            out["qs"][b],
+            out["qe"][b],
+            out["ts"][b],
+            out["te"][b],
+        )
+        want = (
+            ref.score,
+            ref.query_start,
+            ref.query_end,
+            ref.target_start,
+            ref.target_end,
+        )
+        assert got == want, (b, got, want)
+
+
+@pytest.mark.parametrize(
+    "sp,B,n,m",
+    [
+        (DNA_AFF, 4, 100, 120),
+        (DNA_AFF, 2, 300, 260),  # multiple strips & target blocks
+        (DNA_LIN, 4, 100, 120),
+        (BLOS, 2, 150, 140),
+        (DNA_AFF, 1, 10, 10),
+        (BLOS, 1, 129, 257),  # just past strip/block boundaries
+    ],
+)
+def test_strip_parity(rng, sp, B, n, m):
+    _run(rng, sp, B, n, m)
+
+
+def test_strip_ragged_lengths(rng):
+    _run(rng, DNA_AFF, 3, 90, 110, qlen=[90, 40, 64], tlen=[110, 50, 20])
+
+
+def test_strip_all_mismatch(rng):
+    """Empty local alignment: disjoint alphabets -> score 0, zero coords."""
+    q = np.zeros((1, 40), np.int32)
+    t = np.ones((1, 40), np.int32)
+    out = strip_bucket(
+        q,
+        t,
+        np.array([40], np.int32),
+        np.array([40], np.int32),
+        sentinel_table(DNA_AFF),
+        mode="local",
+        gap_open=DNA_AFF.gap_open,
+        gap_extend=DNA_AFF.gap_extend,
+    )
+    assert out["score"][0] == 0 and out["qe"][0] == 0 and out["te"][0] == 0
