@@ -68,10 +68,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..types import NEG_INF
 
+import os as _os
+
 LANES = 128
 SUBLANES = 8
 TI = 128  # strip height == lane count
-NSUB = 8  # substeps unrolled per inner fori iteration
+# substeps unrolled per inner fori iteration (tunable for experiments)
+NSUB = int(_os.environ.get("SEQALIB_STRIP_NSUB", "8"))
 NIBBLE_BIAS = 4  # packed-profile bias; tables must fit [-4, 11]
 
 
