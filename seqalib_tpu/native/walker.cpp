@@ -1,0 +1,152 @@
+// Native host-side traceback walker + CIGAR run-length encoder.
+//
+// TPU-native equivalent of the reference's AlignedSequence construction
+// loop (SeqALib traceback walk in NeedlemanWunschSA::buildAlignment,
+// SURVEY.md 3.1): the device kernels emit packed pointer matrices to HBM
+// (wavefront_pallas); the pointer chase itself is scalar and branchy --
+// the one part of the pipeline TPUs are structurally bad at -- so it runs
+// on the host.  The NumPy fallback walks all pairs in lockstep (every
+// pair pays the longest pair's step count); this C++ walker runs each
+// pair independently and fuses the run-length encoding, so the Python
+// layer only formats (op, count) runs into CIGAR strings.
+//
+// Pointer byte layout (must match seqalib_tpu.types / wavefront_pallas):
+//   bits 0-1: H provenance  0=STOP 1=DIAG 2=UP 3=LEFT
+//   bit  2:   E came from E (extend) rather than H (open)
+//   bit  3:   F came from F (extend) rather than H (open)
+//
+// Ops: 0=M 1=I 2=D (utils/cigar.py).  Runs are emitted in WALK order
+// (end -> start); callers reverse when formatting.
+
+#include <cstdint>
+
+namespace {
+constexpr int PTR_STOP = 0;
+constexpr int PTR_DIAG = 1;
+constexpr int PTR_UP = 2;
+constexpr int PTR_LEFT = 3;
+constexpr int OP_M = 0;
+constexpr int OP_I = 1;
+constexpr int OP_D = 2;
+
+inline void push_run(uint8_t op, uint8_t* run_ops, int32_t* run_cnts,
+                     int32_t& nr) {
+  if (nr > 0 && run_ops[nr - 1] == op) {
+    run_cnts[nr - 1] += 1;
+  } else {
+    run_ops[nr] = op;
+    run_cnts[nr] = 1;
+    nr += 1;
+  }
+}
+}  // namespace
+
+extern "C" {
+
+// P: (Kp, B, Np) int8 packed pointers, P[k][b][i] for cell (i, j=k-i).
+// si/sj: (B,) walk start coords.  done0: (B,) skip flags.
+// run_ops/run_cnts: (B, cap) outputs; nruns: (B,); fi/fj: (B,) final coords.
+void sq_walk_linear(const int8_t* P, int64_t Kp, int64_t B, int64_t Np,
+                    const int64_t* si, const int64_t* sj,
+                    const uint8_t* done0, int64_t cap, uint8_t* run_ops,
+                    int32_t* run_cnts, int32_t* nruns, int64_t* fi,
+                    int64_t* fj) {
+  for (int64_t b = 0; b < B; ++b) {
+    int64_t i = si[b], j = sj[b];
+    int32_t nr = 0;
+    uint8_t* ro = run_ops + b * cap;
+    int32_t* rc = run_cnts + b * cap;
+    if (!done0[b]) {
+      while (true) {
+        const int p = P[(i + j) * B * Np + b * Np + i] & 3;
+        if (p == PTR_STOP) break;
+        if (p == PTR_DIAG) {
+          push_run(OP_M, ro, rc, nr);
+          --i;
+          --j;
+        } else if (p == PTR_UP) {
+          push_run(OP_I, ro, rc, nr);
+          --i;
+        } else {
+          push_run(OP_D, ro, rc, nr);
+          --j;
+        }
+      }
+    }
+    nruns[b] = nr;
+    fi[b] = i;
+    fj[b] = j;
+  }
+}
+
+// Affine walk: H/E/F state machine with extend bits (wavefront_pallas
+// _host_traceback_affine semantics).
+void sq_walk_affine(const int8_t* P, int64_t Kp, int64_t B, int64_t Np,
+                    const int64_t* si, const int64_t* sj,
+                    const uint8_t* done0, int64_t cap, uint8_t* run_ops,
+                    int32_t* run_cnts, int32_t* nruns, int64_t* fi,
+                    int64_t* fj) {
+  constexpr int ST_H = 0, ST_E = 1, ST_F = 2;
+  for (int64_t b = 0; b < B; ++b) {
+    int64_t i = si[b], j = sj[b];
+    int st = ST_H;
+    int32_t nr = 0;
+    uint8_t* ro = run_ops + b * cap;
+    int32_t* rc = run_cnts + b * cap;
+    if (!done0[b]) {
+      while (true) {
+        const int byte = P[(i + j) * B * Np + b * Np + i];
+        const int ph = byte & 3;
+        const bool ext_e = (byte >> 2) & 1;
+        const bool ext_f = (byte >> 3) & 1;
+        if (st == ST_H) {
+          if (ph == PTR_STOP) break;
+          if (ph == PTR_DIAG) {
+            push_run(OP_M, ro, rc, nr);
+            --i;
+            --j;
+          } else if (ph == PTR_UP) {
+            push_run(OP_I, ro, rc, nr);
+            --i;
+            if (ext_f) st = ST_F;
+          } else {
+            push_run(OP_D, ro, rc, nr);
+            --j;
+            if (ext_e) st = ST_E;
+          }
+        } else if (st == ST_F) {
+          push_run(OP_I, ro, rc, nr);
+          --i;
+          if (!ext_f) st = ST_H;
+        } else {
+          push_run(OP_D, ro, rc, nr);
+          --j;
+          if (!ext_e) st = ST_H;
+        }
+      }
+    }
+    nruns[b] = nr;
+    fi[b] = i;
+    fj[b] = j;
+  }
+}
+
+// Batch RLE of padded op rows (ops: (B, L) uint8, 255 = padding) in the
+// given order; used to accelerate utils.cigar.ops_batch_to_cigars.
+void sq_rle(const uint8_t* ops, int64_t B, int64_t L, int64_t cap,
+            uint8_t* run_ops, int32_t* run_cnts, int32_t* nruns) {
+  for (int64_t b = 0; b < B; ++b) {
+    const uint8_t* row = ops + b * L;
+    uint8_t* ro = run_ops + b * cap;
+    int32_t* rc = run_cnts + b * cap;
+    int32_t nr = 0;
+    for (int64_t x = 0; x < L; ++x) {
+      const uint8_t op = row[x];
+      if (op == 255) break;
+      push_run(op, ro, rc, nr);
+    }
+    nruns[b] = nr;
+  }
+}
+
+}  // extern "C"

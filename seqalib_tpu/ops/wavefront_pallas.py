@@ -703,6 +703,16 @@ def pallas_bucket(
         return {k: v[:B0] for k, v in out.items()}
 
     P_h = np.asarray(res["P"])
+    from ..native import walk_to_cigars
+
+    native = walk_to_cigars(P_h, starts_i, starts_j, done0, affine)
+    if native is not None:
+        cigars, fi, fj = native
+        out["qs"] = fi.astype(np.int32)
+        out["ts"] = fj.astype(np.int32)
+        res2 = {k: v[:B0] for k, v in out.items()}
+        res2["cigars"] = cigars[:B0]
+        return res2
     walk = _host_traceback_affine if affine else _host_traceback_linear
     ops_rev, fi, fj = walk(P_h, starts_i, starts_j, done0, B)
     full = np.full((B, n + m), OP_PAD, np.uint8)

@@ -168,7 +168,12 @@ def dispatch_batch(
             qb, tb, qlen, tlen, sp, mode, band, backend, traceback, mesh=mesh
         )
         for r, idx in enumerate(idxs):
-            cigar = _decode_ops_rev(out["ops_rev"][r]) if traceback else ""
+            if not traceback:
+                cigar = ""
+            elif "cigars" in out:  # native walker emits strings directly
+                cigar = out["cigars"][r]
+            else:
+                cigar = _decode_ops_rev(out["ops_rev"][r])
             results[idx] = AlignResult(
                 int(out["score"][r]),
                 int(out["qs"][r]),
