@@ -1,0 +1,197 @@
+"""Command-line interface: `python -m seqalib_tpu <command>`.
+
+The reference is a header-only library with no CLI (SURVEY.md §2.1); this
+is the new framework's operational front door (SURVEY.md §1.2 layer 1):
+
+  align   one pair from the command line
+  bench   run a BASELINE.json benchmark config (1-5) and print JSON
+
+Kept argparse-only by design (SURVEY.md §5 "Config/flag system": frozen
+dataclasses + one argparse CLI, no gflags/hydra).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _scoring(args):
+    from .types import ScoringParams
+
+    if getattr(args, "blosum62", False):
+        return ScoringParams.blosum62(
+            gap_open=args.gap_open, gap_extend=args.gap_extend
+        )
+    return ScoringParams(
+        match=args.match,
+        mismatch=args.mismatch,
+        gap_open=args.gap_open,
+        gap_extend=args.gap_extend,
+    )
+
+
+def cmd_align(args) -> int:
+    from .api import align
+
+    res = align(
+        args.query,
+        args.target,
+        scoring=_scoring(args),
+        mode=args.mode,
+        band=args.band,
+        backend=args.backend,
+    )
+    print(
+        json.dumps(
+            {
+                "score": res.score,
+                "query_start": res.query_start,
+                "query_end": res.query_end,
+                "target_start": res.target_start,
+                "target_end": res.target_end,
+                "cigar": res.cigar,
+            }
+        )
+    )
+    return 0
+
+
+def _synth(rng, n_pairs, lq, lt, alpha):
+    qs = [rng.integers(0, alpha, rng.integers(lq // 2, lq + 1)).astype(np.uint8)
+          for _ in range(n_pairs)]
+    ts = [rng.integers(0, alpha, rng.integers(lt // 2, lt + 1)).astype(np.uint8)
+          for _ in range(n_pairs)]
+    return qs, ts
+
+
+def cmd_bench(args) -> int:
+    """Benchmark configs (BASELINE.json:7-11).  End-to-end through the
+    public align_batch path: includes dispatch, padding, and host decode
+    (kernel-only GCUPS comes from bench.py at the repo root)."""
+    from .api import align_batch
+    from .types import ScoringParams
+
+    rng = np.random.default_rng(args.seed)
+    cfg = args.config
+    t_start = time.perf_counter()
+    if cfg == 1:  # NW global linear, 256bp DNA, full traceback
+        sp = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
+        qs, ts = _synth(rng, args.pairs, 256, 256, 4)
+        res = align_batch(qs, ts, scoring=sp, mode="global", backend=args.backend)
+    elif cfg == 2:  # SW local linear, 1kb DNA, score + coords
+        sp = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
+        qs, ts = _synth(rng, args.pairs, 1024, 1024, 4)
+        res = align_batch(
+            qs, ts, scoring=sp, mode="local", backend=args.backend, traceback=False
+        )
+    elif cfg == 3:  # Gotoh affine SW, BLOSUM62 protein, traceback
+        sp = ScoringParams.blosum62()
+        qs, ts = _synth(rng, args.pairs, 1024, 1024, 20)
+        res = align_batch(qs, ts, scoring=sp, mode="local", backend=args.backend)
+    elif cfg == 4:  # banded affine NW long reads
+        sp = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+        L = args.long_len
+        qs, ts = [], []
+        for _ in range(max(1, args.pairs // 8)):
+            q = rng.integers(0, 4, L).astype(np.uint8)
+            t = q.copy()
+            idx = rng.choice(L, L // 50, replace=False)
+            t[idx] = (t[idx] + 1 + rng.integers(0, 3, len(idx))) % 4
+            qs.append(q)
+            ts.append(t.astype(np.uint8))
+        res = align_batch(
+            qs, ts, scoring=sp, mode="global", band=args.band, backend=args.backend
+        )
+    elif cfg == 5:  # batched all-vs-all SW, sharded over the mesh
+        from .parallel.dist import make_pair_mesh
+
+        sp = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
+        reads, _ = _synth(rng, args.reads, 256, 256, 4)
+        refs, _ = _synth(rng, args.refs, 1024, 1024, 4)
+        qs = [reads[i % len(reads)] for i in range(args.pairs)]
+        ts = [refs[i % len(refs)] for i in range(args.pairs)]
+        res = align_batch(
+            qs,
+            ts,
+            scoring=sp,
+            mode="local",
+            backend="xla",
+            traceback=False,
+            mesh=make_pair_mesh(),
+        )
+    else:
+        print(f"unknown config {cfg}", file=sys.stderr)
+        return 2
+    dt = time.perf_counter() - t_start
+
+    if cfg == 4:
+        cells = sum(len(q) * 2 * args.band for q in qs)
+    else:
+        cells = sum(len(q) * len(t) for q, t in zip(qs, ts))
+    out = {
+        "config": cfg,
+        "pairs": len(qs),
+        "wall_s": round(dt, 3),
+        "pairs_per_sec": round(len(qs) / dt, 1),
+        "gcups_end_to_end": round(cells / dt / 1e9, 3),
+        "backend": args.backend,
+        "example": str(res[0]),
+    }
+    if args.parity_check:
+        from .oracle import align_oracle
+        from .types import PROTEIN_SIZE
+
+        n_check = min(3, len(qs))
+        ok = True
+        for b in range(n_check):
+            mode = "global" if cfg in (1, 4) else "local"
+            band = args.band if cfg == 4 else None
+            ref = align_oracle(qs[b], ts[b], sp, mode=mode, band=band)
+            got = res[b]
+            same_score = ref.score == got.score
+            ok = ok and same_score
+        out["parity_ok"] = bool(ok)
+    print(json.dumps(out))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="seqalib_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pa = sub.add_parser("align", help="align one pair")
+    pa.add_argument("query")
+    pa.add_argument("target")
+    pa.add_argument("--mode", choices=["global", "local"], default="global")
+    pa.add_argument("--backend", default="pallas")
+    pa.add_argument("--band", type=int, default=None)
+    pa.add_argument("--match", type=int, default=2)
+    pa.add_argument("--mismatch", type=int, default=-3)
+    pa.add_argument("--gap-open", type=int, default=0)
+    pa.add_argument("--gap-extend", type=int, default=-2)
+    pa.add_argument("--blosum62", action="store_true")
+    pa.set_defaults(fn=cmd_align)
+
+    pb = sub.add_parser("bench", help="run a BASELINE benchmark config")
+    pb.add_argument("config", type=int, choices=[1, 2, 3, 4, 5])
+    pb.add_argument("--pairs", type=int, default=64)
+    pb.add_argument("--reads", type=int, default=64)
+    pb.add_argument("--refs", type=int, default=8)
+    pb.add_argument("--band", type=int, default=128)
+    pb.add_argument("--long-len", type=int, default=10000)
+    pb.add_argument("--backend", default="pallas")
+    pb.add_argument("--seed", type=int, default=0)
+    pb.add_argument("--parity-check", action="store_true")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
