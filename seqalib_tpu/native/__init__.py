@@ -103,6 +103,26 @@ def _load() -> Optional[ctypes.CDLL]:
         _I32P,
     ]
     lib.sq_rle.restype = None
+    lib.sq_walk_strip.argtypes = [
+        _I8P,  # P
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,  # GB, S, K, BSUB, TI
+        ctypes.c_int64,  # B
+        _I64P,
+        _I64P,  # si, sj
+        _U8P,  # done0
+        ctypes.c_int,  # affine
+        ctypes.c_int64,  # cap
+        _U8P,
+        _I32P,
+        _I32P,  # run_ops, run_cnts, nruns
+        _I64P,
+        _I64P,  # fi, fj
+    ]
+    lib.sq_walk_strip.restype = None
     _lib = lib
     return _lib
 
@@ -155,6 +175,41 @@ def walk_to_cigars(
     fj = np.zeros(B, np.int64)
     fn = lib.sq_walk_affine if affine else lib.sq_walk_linear
     fn(P, Kp, B, Np, si, sj, dn, cap, run_ops, run_cnts, nruns, fi, fj)
+    return _runs_to_cigars(run_ops, run_cnts, nruns, reverse=True), fi, fj
+
+
+def walk_strip_to_cigars(
+    P: np.ndarray,
+    starts_i: np.ndarray,
+    starts_j: np.ndarray,
+    done0: np.ndarray,
+    affine: bool,
+    BSUB: int,
+) -> Optional[Tuple[List[str], np.ndarray, np.ndarray]]:
+    """Walk a strip-layout pointer matrix (ops/strip_pallas.py).
+
+    P: (GB, S, K, BSUB, TI) int8.  Returns (cigars start->end, start_i,
+    start_j) or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    P = np.ascontiguousarray(P, dtype=np.int8)
+    GB, S, K, BSUB_, TI = P.shape
+    assert BSUB_ == BSUB
+    si = np.ascontiguousarray(starts_i, dtype=np.int64)
+    sj = np.ascontiguousarray(starts_j, dtype=np.int64)
+    dn = np.ascontiguousarray(done0, dtype=np.uint8)
+    B = len(si)
+    cap = int(si.max(initial=0) + sj.max(initial=0) + 2)
+    run_ops = np.zeros((B, cap), np.uint8)
+    run_cnts = np.zeros((B, cap), np.int32)
+    nruns = np.zeros(B, np.int32)
+    fi = np.zeros(B, np.int64)
+    fj = np.zeros(B, np.int64)
+    lib.sq_walk_strip(
+        P, GB, S, K, BSUB, TI, B, si, sj, dn, int(affine), cap, run_ops,
+        run_cnts, nruns, fi, fj,
+    )
     return _runs_to_cigars(run_ops, run_cnts, nruns, reverse=True), fi, fj
 
 

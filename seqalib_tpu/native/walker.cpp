@@ -131,6 +131,67 @@ void sq_walk_affine(const int8_t* P, int64_t Kp, int64_t B, int64_t Np,
   }
 }
 
+// Strip-layout walk (ops/strip_pallas.py pointer matrices):
+// P[gb, s, k, pr, p] (int8) is the packed byte of DP cell (i, j) with
+// i = s*TI + p + 1, j = k - p, pair = gb*BSUB + pr.  DP row 0 / column 0
+// are implicit STOP cells (local boundary; not stored).  affine != 0
+// runs the H/E/F state machine on the extend bits.
+void sq_walk_strip(const int8_t* P, int64_t GB, int64_t S, int64_t K,
+                   int64_t BSUB, int64_t TI, int64_t B, const int64_t* si,
+                   const int64_t* sj, const uint8_t* done0, int affine,
+                   int64_t cap, uint8_t* run_ops, int32_t* run_cnts,
+                   int32_t* nruns, int64_t* fi, int64_t* fj) {
+  constexpr int ST_H = 0, ST_E = 1, ST_F = 2;
+  (void)GB;
+  for (int64_t b = 0; b < B; ++b) {
+    int64_t i = si[b], j = sj[b];
+    const int64_t gb = b / BSUB, pr = b % BSUB;
+    int st = ST_H;
+    int32_t nr = 0;
+    uint8_t* ro = run_ops + b * cap;
+    int32_t* rc = run_cnts + b * cap;
+    if (!done0[b]) {
+      while (true) {
+        int byte = 0;
+        if (i >= 1 && j >= 1) {
+          const int64_t s = (i - 1) / TI, p = (i - 1) % TI, k = j + p;
+          byte = P[(((gb * S + s) * K + k) * BSUB + pr) * TI + p];
+        }
+        const int ph = byte & 3;
+        const bool ext_e = (byte >> 2) & 1;
+        const bool ext_f = (byte >> 3) & 1;
+        if (st == ST_H) {
+          if (ph == PTR_STOP) break;
+          if (ph == PTR_DIAG) {
+            push_run(0, ro, rc, nr);
+            --i;
+            --j;
+          } else if (ph == PTR_UP) {
+            push_run(1, ro, rc, nr);
+            --i;
+            if (affine && ext_f) st = ST_F;
+          } else {
+            push_run(2, ro, rc, nr);
+            --j;
+            if (affine && ext_e) st = ST_E;
+          }
+        } else if (st == ST_F) {
+          push_run(1, ro, rc, nr);
+          --i;
+          if (!ext_f) st = ST_H;
+        } else {
+          push_run(2, ro, rc, nr);
+          --j;
+          if (!ext_e) st = ST_H;
+        }
+      }
+    }
+    nruns[b] = nr;
+    fi[b] = i;
+    fj[b] = j;
+  }
+}
+
 // Batch RLE of padded op rows (ops: (B, L) uint8, 255 = padding) in the
 // given order; used to accelerate utils.cigar.ops_batch_to_cigars.
 void sq_rle(const uint8_t* ops, int64_t B, int64_t L, int64_t cap,

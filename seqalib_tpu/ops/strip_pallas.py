@@ -66,7 +66,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..types import NEG_INF
+from ..types import NEG_INF, PTR_DIAG, PTR_LEFT, PTR_STOP, PTR_UP
 
 import os as _os
 
@@ -121,6 +121,7 @@ def _strip_kernel(
     packed: bool,
     A1: int,
     want_starts: bool,
+    want_ptr: bool = False,
 ):
     it = iter(refs)
     q_ref = next(it)  # (8, TI) strip query letters (0-based strip rows)
@@ -131,6 +132,7 @@ def _strip_kernel(
     bv_ref = next(it)
     bk_ref = next(it)
     bs_ref = next(it) if want_starts else None
+    ptr_ref = next(it) if want_ptr else None  # (1,1,LANES,BSUB,TI) i8 block
     hbot = next(it)  # (8, W2) scratch: bottom-row H by column position
     fbot = next(it) if affine else None
     shbot = next(it) if want_starts else None
@@ -138,8 +140,11 @@ def _strip_kernel(
     bv_scr = next(it)
     bk_scr = next(it)
     bs_scr = next(it) if want_starts else None
+    state_scr = list(it)  # want_ptr mode: per-strip carry persistence
 
     s = pl.program_id(1)
+    bgrid = pl.program_id(2) if want_ptr else None
+    s0_cond = (s == 0) & (bgrid == 0) if want_ptr else (s == 0)
     NEG = jnp.int32(NEG_INF)
     ee = jnp.int32(gap_extend)
     oe = jnp.int32(gap_open + gap_extend)
@@ -154,7 +159,7 @@ def _strip_kernel(
     names = _state_names(affine, want_starts)
     fnames = _feeder_names(affine, want_starts)
 
-    @pl.when(s == 0)
+    @pl.when(s0_cond)
     def _reset():
         # DP row 0 of a local alignment: H = 0, F = -inf; row-0 cells are
         # STOP cells whose start pack is 0*stride + j = position index.
@@ -237,6 +242,28 @@ def _strip_kernel(
             nxt["E1"] = En
             nxt["F1"] = Fn
         nxt["H1"] = Hn
+
+        if want_ptr:
+            # packed pointer byte (bits 0-1 H provenance, 2 E-ext, 3 F-ext;
+            # wavefront_pallas-compatible); STOP at local zero cells and the
+            # left-of-matrix boundary
+            ptrv = jnp.where(
+                d == best,
+                jnp.int32(PTR_DIAG),
+                jnp.where(up_v == best, jnp.int32(PTR_UP), jnp.int32(PTR_LEFT)),
+            )
+            stopm = best <= 0
+            if not lean:
+                stopm = stopm | jout
+            ptrv = jnp.where(stopm, jnp.int32(PTR_STOP), ptrv)
+            if affine:
+                ptrv = (
+                    ptrv
+                    + (E_ext >= E_opn).astype(jnp.int32) * 4
+                    + (F_ext >= F_opn).astype(jnp.int32) * 8
+                )
+            u = k - (k // LANES) * LANES
+            ptr_ref[u, :, :] = ptrv.astype(jnp.int8)
 
         if want_starts:
             SH1u = jnp.where(lane0, st["SHF"], pltpu.roll(st["SH1"], 1, axis=1))
@@ -348,6 +375,56 @@ def _strip_kernel(
                 st[n] = jnp.zeros((BSUB, LANES), jnp.int32)
         return tuple(st[n] for n in all_names)
 
+    if want_ptr:
+        # steps ride grid dim 2: one 128-step block per grid step, so the
+        # pointer block streams VMEM->HBM through the output pipeline;
+        # per-strip carries persist in scratch between grid steps.
+        persist = [n for n in names if n not in ("BV", "BK")]
+
+        @pl.when(bgrid == 0)
+        def _strip_init():
+            for r, n in zip(state_scr, persist):
+                if n in ("E1", "F1"):
+                    r[:] = jnp.full((BSUB, LANES), NEG, jnp.int32)
+                else:
+                    r[:] = jnp.zeros((BSUB, LANES), jnp.int32)
+
+        st = {n: r[:] for r, n in zip(state_scr, persist)}
+        st["BV"] = bv_scr[:]
+        st["BK"] = bk_scr[:]
+        # always non-lean: masking every step avoids a second traced body
+        st.update(load_feeders(bgrid))
+        k0 = bgrid * LANES
+
+        def group(gi, t):
+            st = dict(zip(all_names, t))
+            for uu in range(NSUB):
+                st = substep(k0 + gi * NSUB + uu, st, False)
+            return tuple(st[n] for n in all_names)
+
+        t = jax.lax.fori_loop(
+            0,
+            (LANES - NSUB) // NSUB,
+            group,
+            tuple(st[n] for n in all_names),
+        )
+        st = dict(zip(all_names, t))
+        for uu in range(NSUB - 1):
+            st = substep(k0 + LANES - NSUB + uu, st, False)
+        flush(bgrid, st)
+        st = substep(k0 + LANES - 1, st, False)
+        for r, n in zip(state_scr, persist):
+            r[:] = st[n]
+        bv_scr[:] = st["BV"]
+        bk_scr[:] = st["BK"]
+
+        @pl.when((s == S - 1) & (bgrid == NB - 1))
+        def _out_ptr():
+            bv_ref[:] = st["BV"]
+            bk_ref[:] = st["BK"]
+
+        return
+
     # block 0 carries the left-of-matrix boundary (j <= 0 lanes); every
     # later block is past it and runs the lean body.
     st_tuple = block_body(0, init_state(), lean=False)
@@ -383,9 +460,17 @@ def _build_profile_packed(qpad: jax.Array, table: jax.Array) -> jax.Array:
     qoh = jax.nn.one_hot(qpad, 32, dtype=jnp.float32)  # (B, n_pad, 32)
     # float matmuls can't hold full 32-bit packed values exactly (> 2^24);
     # gather via two 16-bit planes, each exact in f32, and recombine.
-    lo = jnp.einsum("bia,ag->bgi", qoh, (packed & 0xFFFF).astype(jnp.float32))
+    # precision=HIGHEST: the TPU's default f32 matmul truncates inputs to
+    # bf16 (8-bit significand), which corrupts 16-bit plane values.
+    hp = jax.lax.Precision.HIGHEST
+    lo = jnp.einsum(
+        "bia,ag->bgi", qoh, (packed & 0xFFFF).astype(jnp.float32), precision=hp
+    )
     hi = jnp.einsum(
-        "bia,ag->bgi", qoh, ((packed >> 16) & 0xFFFF).astype(jnp.float32)
+        "bia,ag->bgi",
+        qoh,
+        ((packed >> 16) & 0xFFFF).astype(jnp.float32),
+        precision=hp,
     )
     return (hi.astype(jnp.int32) << 16) | lo.astype(jnp.int32)
 
@@ -413,6 +498,7 @@ def _build_profile_rows(qpad: jax.Array, table: jax.Array) -> jax.Array:
         "packed",
         "A1",
         "want_starts",
+        "want_ptr",
         "interpret",
     ),
 )
@@ -435,12 +521,14 @@ def _strip_fill(
     A1,
     want_starts,
     interpret,
+    want_ptr=False,
 ):
     B, n_pad = qpad.shape
     W2 = t2.shape[1]
     S = n_pad // TI
     GB = B // BSUB
     NB = (W2 - LANES) // LANES
+    assert not (want_ptr and want_starts)
 
     qlenc = jnp.broadcast_to(qlen[:, None].astype(jnp.int32), (B, LANES))
     tlenc = jnp.broadcast_to(tlen[:, None].astype(jnp.int32), (B, LANES))
@@ -460,38 +548,55 @@ def _strip_fill(
         packed=packed,
         A1=A1,
         want_starts=want_starts,
+        want_ptr=want_ptr,
     )
+
+    # index maps: 2-D grid (gb, s) for the score path; 3-D (gb, s, b) with
+    # steps on the minor grid dim for the pointer-emitting path
+    if want_ptr:
+        grid = (GB, S, NB)
+        bspec = lambda blk, f: pl.BlockSpec(
+            blk, lambda gb, s, b: f(gb, s), memory_space=pltpu.VMEM
+        )
+        semantics = ("arbitrary", "arbitrary", "arbitrary")
+    else:
+        grid = (GB, S)
+        bspec = lambda blk, f: pl.BlockSpec(
+            blk, lambda gb, s: f(gb, s), memory_space=pltpu.VMEM
+        )
+        semantics = ("arbitrary", "arbitrary")
 
     inputs = [qpad, t2, qlenc, tlenc]
     in_specs = [
-        pl.BlockSpec((BSUB, TI), lambda gb, s: (gb, s), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BSUB, W2), lambda gb, s: (gb, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BSUB, LANES), lambda gb, s: (gb, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BSUB, LANES), lambda gb, s: (gb, 0), memory_space=pltpu.VMEM),
+        bspec((BSUB, TI), lambda gb, s: (gb, s)),
+        bspec((BSUB, W2), lambda gb, s: (gb, 0)),
+        bspec((BSUB, LANES), lambda gb, s: (gb, 0)),
+        bspec((BSUB, LANES), lambda gb, s: (gb, 0)),
     ]
     if profile:
         if packed:
             inputs.append(_build_profile_packed(qpad, table))
-            in_specs.append(
-                pl.BlockSpec(
-                    (BSUB, 4, TI), lambda gb, s: (gb, 0, s), memory_space=pltpu.VMEM
-                )
-            )
+            in_specs.append(bspec((BSUB, 4, TI), lambda gb, s: (gb, 0, s)))
         else:
             inputs.append(_build_profile_rows(qpad, table))
-            in_specs.append(
-                pl.BlockSpec(
-                    (BSUB, 32, TI),
-                    lambda gb, s: (gb, 0, s),
-                    memory_space=pltpu.VMEM,
-                )
-            )
+            in_specs.append(bspec((BSUB, 32, TI), lambda gb, s: (gb, 0, s)))
 
     n_out = 3 if want_starts else 2
     out_shapes = [jax.ShapeDtypeStruct((B, LANES), jnp.int32)] * n_out
-    out_specs = [
-        pl.BlockSpec((BSUB, LANES), lambda gb, s: (gb, 0), memory_space=pltpu.VMEM)
-    ] * n_out
+    out_specs = [bspec((BSUB, LANES), lambda gb, s: (gb, 0))] * n_out
+    if want_ptr:
+        # v1-style 3-D pointer stream: block row-major over (gb, s, b, u);
+        # the host reshapes to (GB, S, NB*LANES, BSUB, TI)
+        out_shapes.append(
+            jax.ShapeDtypeStruct((GB * S * NB * LANES, BSUB, TI), jnp.int8)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (LANES, BSUB, TI),
+                lambda gb, s, b: ((gb * S + s) * NB + b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
 
     scratch = [pltpu.VMEM((BSUB, W2), jnp.int32)]  # hbot
     if affine:
@@ -501,22 +606,27 @@ def _strip_fill(
         if affine:
             scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # sfbot
     scratch += [pltpu.VMEM((BSUB, LANES), jnp.int32)] * n_out
+    if want_ptr:
+        n_persist = len(_state_names(affine, False)) - 2  # minus BV, BK
+        scratch += [pltpu.VMEM((BSUB, LANES), jnp.int32)] * n_persist
 
     outs = pl.pallas_call(
         kernel,
-        grid=(GB, S),
+        grid=grid,
         in_specs=in_specs,
         out_shape=out_shapes,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=semantics,
         ),
     )(*inputs)
     res = {"bv": outs[0], "bk": outs[1]}
     if want_starts:
         res["bs"] = outs[2]
+    if want_ptr:
+        res["P"] = outs[-1]
     return res
 
 
@@ -536,11 +646,17 @@ def strip_bucket(
     want_starts=True,
     BSUB=None,
 ):
-    """Score/coords local alignment via the strip kernel.
+    """Score/coords (and with want_tb=True, CIGAR) local alignment via the
+    strip kernel.
 
-    Same output contract as wavefront_pallas.pallas_bucket with
-    want_tb=False: dict of score/qs/qe/ts/te (B,) numpy arrays."""
-    assert mode == "local" and not want_tb and band is None
+    Same output contract as wavefront_pallas.pallas_bucket: dict of
+    score/qs/qe/ts/te (B,) numpy arrays, plus "cigars" (list of str) when
+    want_tb=True (the pointer matrix streams to HBM in strip layout and
+    the walk runs host-side; starts come from the walk, so the fill
+    carries no start-tracking state)."""
+    assert mode == "local" and band is None
+    if want_tb:
+        want_starts = False
     interpret = jax.devices()[0].platform != "tpu"
     q = np.asarray(q)
     t = np.asarray(t)
@@ -556,6 +672,10 @@ def strip_bucket(
 
         BSUB = int(os.environ.get("SEQALIB_STRIP_BSUB", "32"))
     BSUB = max(SUBLANES, min(BSUB, _ceil_to(max(B0, SUBLANES), SUBLANES)))
+    if want_tb:
+        # the int8 pointer block's (BSUB, TI) trailing dims must respect
+        # the int8 (32, 128) min tile
+        BSUB = max(BSUB, 32)
 
     B = _ceil_to(max(B0, SUBLANES), BSUB)
     if B != B0:
@@ -608,6 +728,7 @@ def strip_bucket(
         packed=packed,
         A1=A1,
         want_starts=want_starts,
+        want_ptr=want_tb,
         interpret=interpret,
     )
     bv = np.asarray(res["bv"])  # (B, 128)
@@ -626,6 +747,18 @@ def strip_bucket(
         "qe": qe.astype(np.int32),
         "te": te.astype(np.int32),
     }
+    if want_tb:
+        GB = B // BSUB
+        S_ = n_pad // TI
+        P = np.asarray(res["P"]).reshape(GB, S_, NB * LANES, BSUB, TI)
+        cigars, fi, fj = _strip_walk(
+            P, qe.astype(np.int64), te.astype(np.int64), empty, bool(affine), BSUB
+        )
+        out["qs"] = fi.astype(np.int32)
+        out["ts"] = fj.astype(np.int32)
+        res2 = {k: v[:B0] for k, v in out.items()}
+        res2["cigars"] = cigars[:B0]
+        return res2
     if want_starts:
         bs = np.asarray(res["bs"])
         spacked = bs[barr, lsel]
@@ -635,3 +768,72 @@ def strip_bucket(
         out["qs"] = np.zeros(B, np.int32)
         out["ts"] = np.zeros(B, np.int32)
     return {k: v[:B0] for k, v in out.items()}
+
+
+def _strip_walk(P, qe, te, done0, affine, BSUB):
+    """Host pointer walk over the strip-layout pointer matrix.
+
+    P[gb, s, k, pr, p] is the packed byte of cell (i, j) with
+    i = s*TI + p + 1, j = k - p, pair = gb*BSUB + pr.  Cells on DP row 0
+    or column 0 are implicit STOP cells (local boundary, not stored).
+    Tries the native C++ walker first; falls back to a lockstep
+    vectorized NumPy walk.  Returns (cigars start->end, start_i, start_j).
+    """
+    from ..native import walk_strip_to_cigars
+    from ..utils.cigar import OP_D, OP_I, OP_M, ops_to_cigar
+
+    native = walk_strip_to_cigars(P, qe, te, done0, affine, BSUB)
+    if native is not None:
+        return native
+
+    GB, S, K, _, _ = P.shape
+    B = len(qe)
+    i = qe.copy()
+    j = te.copy()
+    done = done0.copy()
+    pair = np.arange(B)
+    gb = pair // BSUB
+    pr = pair % BSUB
+    st = np.zeros(B, np.int32)  # 0=H 1=E 2=F
+    ops_cols = []
+    while not done.all():
+        edge = (i < 1) | (j < 1)
+        srow = np.clip((i - 1) // TI, 0, S - 1)
+        p = np.clip((i - 1) % TI, 0, TI - 1)
+        k = np.clip(j + p, 0, K - 1)
+        byte = np.where(edge, 0, P[gb, srow, k, pr, p]).astype(np.int32)
+        ph = byte & 3
+        ext_e = ((byte >> 2) & 1).astype(bool)
+        ext_f = ((byte >> 3) & 1).astype(bool)
+        in_h = st == 0
+        done = done | (in_h & (ph == PTR_STOP))
+        act = ~done
+        act_m = act & in_h & (ph == PTR_DIAG)
+        act_i = act & ((in_h & (ph == PTR_UP)) | (st == 2))
+        act_d = act & ((in_h & (ph == PTR_LEFT)) | (st == 1))
+        op = np.where(act_m, OP_M, np.where(act_i, OP_I, np.where(act_d, OP_D, 255)))
+        ops_cols.append(op.astype(np.uint8))
+        if affine:
+            st = np.where(
+                act_m,
+                0,
+                np.where(
+                    act_i,
+                    np.where(ext_f, 2, 0),
+                    np.where(act_d, np.where(ext_e, 1, 0), st),
+                ),
+            )
+        i = i - (act_m | act_i)
+        j = j - (act_m | act_d)
+    cigars = []
+    if ops_cols:
+        mat = np.stack(ops_cols, axis=1)
+        for b in range(B):
+            row = mat[b]
+            row = row[row != 255]
+            cigars.append(ops_to_cigar(row[::-1]))
+    else:
+        cigars = [""] * B
+    return cigars, i, j
+
+

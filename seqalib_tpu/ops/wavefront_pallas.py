@@ -597,11 +597,12 @@ def pallas_bucket(
     Device fill + (when want_tb) host-side pointer walk.  Output dict matches
     wavefront_bucket: score/qs/qe/ts/te (+ ops_rev when want_tb).
 
-    The score/coords local path (no traceback, no band) routes to the
-    strip-tiled v2 kernel (strip_pallas), which is ~10x faster; everything
-    else stays on the full-diagonal v1 kernels in this module.
+    Local-mode paths (score/coords and full traceback, no band) route to
+    the strip-tiled v2 kernel (strip_pallas), which is ~3-5x faster;
+    global modes and banded fallbacks stay on the full-diagonal v1
+    kernels in this module.
     """
-    if mode == "local" and not want_tb and band is None:
+    if mode == "local" and band is None:
         from .strip_pallas import strip_bucket
 
         return strip_bucket(

@@ -70,6 +70,56 @@ def test_strip_ragged_lengths(rng):
     _run(rng, DNA_AFF, 3, 90, 110, qlen=[90, 40, 64], tlen=[110, 50, 20])
 
 
+@pytest.mark.parametrize(
+    "sp,B,n,m",
+    [
+        (DNA_AFF, 3, 100, 120),
+        (DNA_LIN, 3, 100, 120),
+        (BLOS, 2, 150, 140),
+        (DNA_AFF, 2, 300, 260),  # multiple strips and blocks
+    ],
+)
+def test_strip_traceback_parity(rng, sp, B, n, m):
+    """want_tb: pointer stream + host walk must reproduce oracle CIGARs."""
+    alpha = 4 if sp.matrix is None else 20
+    q = rng.integers(0, alpha, (B, n)).astype(np.int32)
+    t = rng.integers(0, alpha, (B, m)).astype(np.int32)
+    qlen = np.full(B, n, np.int32)
+    tlen = np.full(B, m, np.int32)
+    out = strip_bucket(
+        q,
+        t,
+        qlen,
+        tlen,
+        sentinel_table(sp),
+        mode="local",
+        gap_open=sp.gap_open,
+        gap_extend=sp.gap_extend,
+        want_tb=True,
+    )
+    for b in range(B):
+        ref = (
+            sw_affine(q[b], t[b], sp) if sp.is_affine else sw_linear(q[b], t[b], sp)
+        )
+        got = (
+            out["score"][b],
+            out["qs"][b],
+            out["qe"][b],
+            out["ts"][b],
+            out["te"][b],
+            out["cigars"][b],
+        )
+        want = (
+            ref.score,
+            ref.query_start,
+            ref.query_end,
+            ref.target_start,
+            ref.target_end,
+            ref.cigar,
+        )
+        assert got == want, (b, got, want)
+
+
 def test_strip_all_mismatch(rng):
     """Empty local alignment: disjoint alphabets -> score 0, zero coords."""
     q = np.zeros((1, 40), np.int32)
