@@ -115,6 +115,7 @@ def _load() -> Optional[ctypes.CDLL]:
         _I64P,  # si, sj
         _U8P,  # done0
         ctypes.c_int,  # affine
+        ctypes.c_int,  # global_mode
         ctypes.c_int64,  # cap
         _U8P,
         _I32P,
@@ -185,6 +186,7 @@ def walk_strip_to_cigars(
     done0: np.ndarray,
     affine: bool,
     BSUB: int,
+    global_mode: bool = False,
 ) -> Optional[Tuple[List[str], np.ndarray, np.ndarray]]:
     """Walk a strip-layout pointer matrix (ops/strip_pallas.py).
 
@@ -207,8 +209,8 @@ def walk_strip_to_cigars(
     fi = np.zeros(B, np.int64)
     fj = np.zeros(B, np.int64)
     lib.sq_walk_strip(
-        P, GB, S, K, BSUB, TI, B, si, sj, dn, int(affine), cap, run_ops,
-        run_cnts, nruns, fi, fj,
+        P, GB, S, K, BSUB, TI, B, si, sj, dn, int(affine), int(global_mode),
+        cap, run_ops, run_cnts, nruns, fi, fj,
     )
     return _runs_to_cigars(run_ops, run_cnts, nruns, reverse=True), fi, fj
 

@@ -139,8 +139,9 @@ void sq_walk_affine(const int8_t* P, int64_t Kp, int64_t B, int64_t Np,
 void sq_walk_strip(const int8_t* P, int64_t GB, int64_t S, int64_t K,
                    int64_t BSUB, int64_t TI, int64_t B, const int64_t* si,
                    const int64_t* sj, const uint8_t* done0, int affine,
-                   int64_t cap, uint8_t* run_ops, int32_t* run_cnts,
-                   int32_t* nruns, int64_t* fi, int64_t* fj) {
+                   int global_mode, int64_t cap, uint8_t* run_ops,
+                   int32_t* run_cnts, int32_t* nruns, int64_t* fi,
+                   int64_t* fj) {
   constexpr int ST_H = 0, ST_E = 1, ST_F = 2;
   (void)GB;
   for (int64_t b = 0; b < B; ++b) {
@@ -152,6 +153,22 @@ void sq_walk_strip(const int8_t* P, int64_t GB, int64_t S, int64_t K,
     int32_t* rc = run_cnts + b * cap;
     if (!done0[b]) {
       while (true) {
+        if (global_mode && st == ST_H) {
+          // DP row 0 / column 0 are not stored; a global walk runs them
+          // to the origin (all-D along row 0, all-I along column 0 --
+          // exactly the oracle's boundary pointers)
+          if (i == 0 && j == 0) break;
+          if (i == 0) {
+            push_run(2, ro, rc, nr);
+            --j;
+            continue;
+          }
+          if (j == 0) {
+            push_run(1, ro, rc, nr);
+            --i;
+            continue;
+          }
+        }
         int byte = 0;
         if (i >= 1 && j >= 1) {
           const int64_t s = (i - 1) / TI, p = (i - 1) % TI, k = j + p;

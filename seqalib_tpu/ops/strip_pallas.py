@@ -82,10 +82,13 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _state_names(affine: bool, want_starts: bool):
+def _state_names(affine: bool, want_starts: bool, gmode: bool = False):
     """Persistent (across blocks) SSA carry set.  DF/SDF are the diag
-    feeders (previous step's up feeder)."""
+    feeders (previous step's up feeder).  Global mode captures the final
+    cell into SC instead of tracking a local argmax."""
     names = ["H1", "H2", "E1", "F1", "W", "BV", "BK", "CH", "CF", "DF"]
+    if gmode:
+        names = [n for n in names if n not in ("BV", "BK")] + ["SC"]
     if not affine:
         names = [n for n in names if n not in ("E1", "F1", "CF")]
     if want_starts:
@@ -122,6 +125,7 @@ def _strip_kernel(
     A1: int,
     want_starts: bool,
     want_ptr: bool = False,
+    gmode: bool = False,
 ):
     it = iter(refs)
     q_ref = next(it)  # (8, TI) strip query letters (0-based strip rows)
@@ -156,14 +160,21 @@ def _strip_kernel(
     ivec = i0 + lane + 1
     ipack = ivec * stride
     irow_ok = ivec <= qlenv
-    names = _state_names(affine, want_starts)
+    # global-mode boundary: H(i, 0) = [o +] i*e  (column-0 gap)
+    gapvec = (jnp.int32(gap_open) if affine else jnp.int32(0)) + ivec * ee
+    names = _state_names(affine, want_starts, gmode)
     fnames = _feeder_names(affine, want_starts)
 
     @pl.when(s0_cond)
     def _reset():
-        # DP row 0 of a local alignment: H = 0, F = -inf; row-0 cells are
-        # STOP cells whose start pack is 0*stride + j = position index.
-        hbot[:] = jnp.zeros_like(hbot)
+        # DP row 0: local H = 0 (STOP cells, start pack = j); global
+        # H(0, j) = [o +] j*e with H(0,0) = 0.  F row 0 = -inf either way.
+        if gmode:
+            xcol = jax.lax.broadcasted_iota(jnp.int32, hbot.shape, 1)
+            row0 = (jnp.int32(gap_open) if affine else jnp.int32(0)) + xcol * ee
+            hbot[:] = jnp.where(xcol == 0, 0, row0)
+        else:
+            hbot[:] = jnp.zeros_like(hbot)
         if affine:
             fbot[:] = jnp.full_like(fbot, NEG)
         if want_starts:
@@ -229,12 +240,12 @@ def _strip_kernel(
             up_v = H1u + ee
             left_v = st["H1"] + ee
         best = jnp.maximum(jnp.maximum(d, up_v), left_v)
-        Hn = jnp.maximum(best, 0)
+        Hn = best if gmode else jnp.maximum(best, 0)
 
         if not lean:
             jvec = k - lane
             jout = jvec <= 0
-            Hn = jnp.where(jout, 0, Hn)
+            Hn = jnp.where(jout, gapvec if gmode else 0, Hn)
             if affine:
                 En = jnp.where(jout, NEG, En)
                 Fn = jnp.where(jout, NEG, Fn)
@@ -252,10 +263,11 @@ def _strip_kernel(
                 jnp.int32(PTR_DIAG),
                 jnp.where(up_v == best, jnp.int32(PTR_UP), jnp.int32(PTR_LEFT)),
             )
-            stopm = best <= 0
-            if not lean:
-                stopm = stopm | jout
-            ptrv = jnp.where(stopm, jnp.int32(PTR_STOP), ptrv)
+            if not gmode:
+                stopm = best <= 0
+                if not lean:
+                    stopm = stopm | jout
+                ptrv = jnp.where(stopm, jnp.int32(PTR_STOP), ptrv)
             if affine:
                 ptrv = (
                     ptrv
@@ -289,17 +301,22 @@ def _strip_kernel(
             nxt["SH1"] = SHn
             nxt["SH2"] = st["SH1"]
 
-        # best tracking (strict > keeps first max in (i, j) scan order)
         jvec2 = k - lane
-        valid = irow_ok & (jvec2 <= tlenv)
-        if not lean:
-            valid = valid & (jvec2 >= 1)
-        v = jnp.where(valid, Hn, 0)
-        upd = v > st["BV"]
-        nxt["BV"] = jnp.where(upd, v, st["BV"])
-        nxt["BK"] = jnp.where(upd, ipack + jvec2, st["BK"])
-        if want_starts:
-            nxt["BS"] = jnp.where(upd, SHn, st["BS"])
+        if gmode:
+            # capture the final cell H(qlen, tlen)
+            fin = (ivec == qlenv) & (jvec2 == tlenv)
+            nxt["SC"] = jnp.where(fin, Hn, st["SC"])
+        else:
+            # best tracking (strict > keeps first max in (i, j) scan order)
+            valid = irow_ok & (jvec2 <= tlenv)
+            if not lean:
+                valid = valid & (jvec2 >= 1)
+            v = jnp.where(valid, Hn, 0)
+            upd = v > st["BV"]
+            nxt["BV"] = jnp.where(upd, v, st["BV"])
+            nxt["BK"] = jnp.where(upd, ipack + jvec2, st["BK"])
+            if want_starts:
+                nxt["BS"] = jnp.where(upd, SHn, st["BS"])
 
         # rotating collectors: lane 127's value self-aligns into the
         # ascending-column window layout (see module docstring)
@@ -365,7 +382,7 @@ def _strip_kernel(
         for n in all_names:
             if n in ("E1", "F1"):
                 st[n] = jnp.full((BSUB, LANES), NEG, jnp.int32)
-            elif n == "BV":
+            elif n in ("BV", "SC"):
                 st[n] = bv_scr[:]
             elif n == "BK":
                 st[n] = bk_scr[:]
@@ -390,8 +407,9 @@ def _strip_kernel(
                     r[:] = jnp.zeros((BSUB, LANES), jnp.int32)
 
         st = {n: r[:] for r, n in zip(state_scr, persist)}
-        st["BV"] = bv_scr[:]
-        st["BK"] = bk_scr[:]
+        if not gmode:
+            st["BV"] = bv_scr[:]
+            st["BK"] = bk_scr[:]
         # always non-lean: masking every step avoids a second traced body
         st.update(load_feeders(bgrid))
         k0 = bgrid * LANES
@@ -415,13 +433,14 @@ def _strip_kernel(
         st = substep(k0 + LANES - 1, st, False)
         for r, n in zip(state_scr, persist):
             r[:] = st[n]
-        bv_scr[:] = st["BV"]
-        bk_scr[:] = st["BK"]
+        if not gmode:
+            bv_scr[:] = st["BV"]
+            bk_scr[:] = st["BK"]
 
         @pl.when((s == S - 1) & (bgrid == NB - 1))
         def _out_ptr():
-            bv_ref[:] = st["BV"]
-            bk_ref[:] = st["BK"]
+            bv_ref[:] = st["SC"] if gmode else st["BV"]
+            bk_ref[:] = st["SC"] if gmode else st["BK"]
 
         return
 
@@ -432,15 +451,16 @@ def _strip_kernel(
         1, NB, lambda b, t: block_body(b, t, lean=True), st_tuple
     )
     st = dict(zip(all_names, st_tuple))
-    bv_scr[:] = st["BV"]
-    bk_scr[:] = st["BK"]
+    bv_scr[:] = st["SC"] if gmode else st["BV"]
+    if not gmode:
+        bk_scr[:] = st["BK"]
     if want_starts:
         bs_scr[:] = st["BS"]
 
     @pl.when(s == S - 1)
     def _out():
-        bv_ref[:] = st["BV"]
-        bk_ref[:] = st["BK"]
+        bv_ref[:] = st["SC"] if gmode else st["BV"]
+        bk_ref[:] = st["SC"] if gmode else st["BK"]
         if want_starts:
             bs_ref[:] = st["BS"]
 
@@ -499,6 +519,7 @@ def _build_profile_rows(qpad: jax.Array, table: jax.Array) -> jax.Array:
         "A1",
         "want_starts",
         "want_ptr",
+        "gmode",
         "interpret",
     ),
 )
@@ -522,6 +543,7 @@ def _strip_fill(
     want_starts,
     interpret,
     want_ptr=False,
+    gmode=False,
 ):
     B, n_pad = qpad.shape
     W2 = t2.shape[1]
@@ -549,6 +571,7 @@ def _strip_fill(
         A1=A1,
         want_starts=want_starts,
         want_ptr=want_ptr,
+        gmode=gmode,
     )
 
     # index maps: 2-D grid (gb, s) for the score path; 3-D (gb, s, b) with
@@ -607,7 +630,9 @@ def _strip_fill(
             scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # sfbot
     scratch += [pltpu.VMEM((BSUB, LANES), jnp.int32)] * n_out
     if want_ptr:
-        n_persist = len(_state_names(affine, False)) - 2  # minus BV, BK
+        n_persist = len(_state_names(affine, False, gmode)) - (
+            0 if gmode else 2
+        )  # BV/BK live in their own scratch
         scratch += [pltpu.VMEM((BSUB, LANES), jnp.int32)] * n_persist
 
     outs = pl.pallas_call(
@@ -646,16 +671,20 @@ def strip_bucket(
     want_starts=True,
     BSUB=None,
 ):
-    """Score/coords (and with want_tb=True, CIGAR) local alignment via the
+    """Score/coords (and with want_tb=True, CIGAR) alignment via the
     strip kernel.
 
     Same output contract as wavefront_pallas.pallas_bucket: dict of
     score/qs/qe/ts/te (B,) numpy arrays, plus "cigars" (list of str) when
     want_tb=True (the pointer matrix streams to HBM in strip layout and
     the walk runs host-side; starts come from the walk, so the fill
-    carries no start-tracking state)."""
-    assert mode == "local" and band is None
-    if want_tb:
+    carries no start-tracking state).
+
+    mode="global" (NW) captures H(qlen, tlen) and walks from there; the
+    degenerate qlen==0 / tlen==0 rows are resolved host-side."""
+    assert mode in ("local", "global") and band is None
+    gmode = mode == "global"
+    if want_tb or gmode:
         want_starts = False
     interpret = jax.devices()[0].platform != "tpu"
     q = np.asarray(q)
@@ -729,11 +758,54 @@ def strip_bucket(
         A1=A1,
         want_starts=want_starts,
         want_ptr=want_tb,
+        gmode=gmode,
         interpret=interpret,
     )
     bv = np.asarray(res["bv"])  # (B, 128)
     bk = np.asarray(res["bk"])
     stride = m + 1
+    barr0 = np.arange(B)
+    if gmode:
+        score = bv[barr0, (np.maximum(qlen, 1) - 1) % TI]
+        # degenerate rows: all-gap alignments, resolved without the kernel
+        go = gap_open if affine else 0
+        degq = qlen == 0
+        degt = tlen == 0
+        score = np.where(degq, go + tlen * gap_extend, score)
+        score = np.where(degt, go + qlen * gap_extend, score)
+        score = np.where(degq & degt, 0, score)
+        out = {
+            "score": score.astype(np.int32),
+            "qs": np.zeros(B, np.int32),
+            "qe": qlen.astype(np.int32),
+            "ts": np.zeros(B, np.int32),
+            "te": tlen.astype(np.int32),
+        }
+        if want_tb:
+            GB = B // BSUB
+            S_ = n_pad // TI
+            P = np.asarray(res["P"]).reshape(GB, S_, NB * LANES, BSUB, TI)
+            deg = degq | degt
+            cigars, _, _ = _strip_walk(
+                P,
+                qlen.astype(np.int64),
+                tlen.astype(np.int64),
+                deg,
+                bool(affine),
+                BSUB,
+                global_mode=True,
+            )
+            for b in np.nonzero(deg)[0]:
+                c = ""
+                if tlen[b]:
+                    c += f"{tlen[b]}D"
+                if qlen[b]:
+                    c += f"{qlen[b]}I"
+                cigars[b] = c
+            res2 = {k: v[:B0] for k, v in out.items()}
+            res2["cigars"] = cigars[:B0]
+            return res2
+        return {k: v[:B0] for k, v in out.items()}
     score = bv.max(axis=1)
     masked_bk = np.where(bv == score[:, None], bk, np.iinfo(np.int32).max)
     lsel = masked_bk.argmin(axis=1)
@@ -752,7 +824,12 @@ def strip_bucket(
         S_ = n_pad // TI
         P = np.asarray(res["P"]).reshape(GB, S_, NB * LANES, BSUB, TI)
         cigars, fi, fj = _strip_walk(
-            P, qe.astype(np.int64), te.astype(np.int64), empty, bool(affine), BSUB
+            P,
+            qe.astype(np.int64),
+            te.astype(np.int64),
+            empty,
+            bool(affine),
+            BSUB,
         )
         out["qs"] = fi.astype(np.int32)
         out["ts"] = fj.astype(np.int32)
@@ -770,7 +847,7 @@ def strip_bucket(
     return {k: v[:B0] for k, v in out.items()}
 
 
-def _strip_walk(P, qe, te, done0, affine, BSUB):
+def _strip_walk(P, qe, te, done0, affine, BSUB, global_mode=False):
     """Host pointer walk over the strip-layout pointer matrix.
 
     P[gb, s, k, pr, p] is the packed byte of cell (i, j) with
@@ -782,7 +859,7 @@ def _strip_walk(P, qe, te, done0, affine, BSUB):
     from ..native import walk_strip_to_cigars
     from ..utils.cigar import OP_D, OP_I, OP_M, ops_to_cigar
 
-    native = walk_strip_to_cigars(P, qe, te, done0, affine, BSUB)
+    native = walk_strip_to_cigars(P, qe, te, done0, affine, BSUB, global_mode)
     if native is not None:
         return native
 
@@ -803,6 +880,12 @@ def _strip_walk(P, qe, te, done0, affine, BSUB):
         k = np.clip(j + p, 0, K - 1)
         byte = np.where(edge, 0, P[gb, srow, k, pr, p]).astype(np.int32)
         ph = byte & 3
+        if global_mode:
+            # unstored boundary rows: all-D along row 0, all-I along col 0
+            in_h0 = st == 0
+            row0 = in_h0 & (i == 0) & (j > 0)
+            col0 = in_h0 & (j == 0) & (i > 0)
+            ph = np.where(row0, PTR_LEFT, np.where(col0, PTR_UP, ph))
         ext_e = ((byte >> 2) & 1).astype(bool)
         ext_f = ((byte >> 3) & 1).astype(bool)
         in_h = st == 0

@@ -597,12 +597,11 @@ def pallas_bucket(
     Device fill + (when want_tb) host-side pointer walk.  Output dict matches
     wavefront_bucket: score/qs/qe/ts/te (+ ops_rev when want_tb).
 
-    Local-mode paths (score/coords and full traceback, no band) route to
-    the strip-tiled v2 kernel (strip_pallas), which is ~3-5x faster;
-    global modes and banded fallbacks stay on the full-diagonal v1
-    kernels in this module.
+    Unbanded paths (local and global, score/coords and full traceback)
+    route to the strip-tiled v2 kernel (strip_pallas), which is ~3-5x
+    faster; banded full-matrix fallbacks stay on the v1 kernels here.
     """
-    if mode == "local" and band is None:
+    if band is None and mode in ("local", "global"):
         from .strip_pallas import strip_bucket
 
         return strip_bucket(

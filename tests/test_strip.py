@@ -120,6 +120,65 @@ def test_strip_traceback_parity(rng, sp, B, n, m):
         assert got == want, (b, got, want)
 
 
+@pytest.mark.parametrize(
+    "sp,B,n,m,want_tb",
+    [
+        (DNA_AFF, 3, 60, 70, True),
+        (DNA_LIN, 3, 60, 70, True),
+        (BLOS, 2, 100, 90, True),
+        (DNA_AFF, 2, 256, 256, True),  # config-1 shape
+        (DNA_AFF, 2, 200, 180, False),
+    ],
+)
+def test_strip_global_parity(rng, sp, B, n, m, want_tb):
+    from seqalib_tpu.oracle import nw_affine, nw_linear
+
+    alpha = 4 if sp.matrix is None else 20
+    q = rng.integers(0, alpha, (B, n)).astype(np.int32)
+    t = rng.integers(0, alpha, (B, m)).astype(np.int32)
+    qlen = np.full(B, n, np.int32)
+    tlen = np.full(B, m, np.int32)
+    out = strip_bucket(
+        q,
+        t,
+        qlen,
+        tlen,
+        sentinel_table(sp),
+        mode="global",
+        gap_open=sp.gap_open,
+        gap_extend=sp.gap_extend,
+        want_tb=want_tb,
+    )
+    for b in range(B):
+        ref = nw_affine(q[b], t[b], sp) if sp.is_affine else nw_linear(q[b], t[b], sp)
+        assert out["score"][b] == ref.score, b
+        if want_tb:
+            assert out["cigars"][b] == ref.cigar, b
+
+
+def test_strip_global_degenerate(rng):
+    from seqalib_tpu.oracle import nw_affine
+
+    q = rng.integers(0, 4, (3, 50)).astype(np.int32)
+    t = rng.integers(0, 4, (3, 60)).astype(np.int32)
+    qlen = np.array([50, 30, 0], np.int32)
+    tlen = np.array([60, 35, 20], np.int32)
+    out = strip_bucket(
+        q,
+        t,
+        qlen,
+        tlen,
+        sentinel_table(DNA_AFF),
+        mode="global",
+        gap_open=DNA_AFF.gap_open,
+        gap_extend=DNA_AFF.gap_extend,
+        want_tb=True,
+    )
+    for b in range(3):
+        ref = nw_affine(q[b][: qlen[b]], t[b][: tlen[b]], DNA_AFF)
+        assert (out["score"][b], out["cigars"][b]) == (ref.score, ref.cigar), b
+
+
 def test_strip_all_mismatch(rng):
     """Empty local alignment: disjoint alphabets -> score 0, zero coords."""
     q = np.zeros((1, 40), np.int32)
