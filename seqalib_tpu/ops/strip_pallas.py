@@ -43,10 +43,16 @@ letters packed per int32, 4 groups covering 32 letters:
 whose score span exceeds 15 fall back to a select cascade over per-letter
 profile rows.
 
-Scope: score + end coords (+ optionally traceback-exact start coords) for
-LOCAL alignment, linear or affine gap — the headline benchmark path
-(BASELINE.json:2, configs 2-3).  Global mode and traceback stay on
-`wavefront_pallas`.
+Scope: every unbanded path — local (SW) and global (NW), linear and
+affine gap, score/coords and full traceback (BASELINE.json configs 1-3).
+Traceback mode streams packed pointer blocks to HBM (the 128-step window
+rides a third grid dimension; per-strip carries persist in VMEM scratch)
+and the host walker recovers starts + CIGARs, so the fill carries no
+start-tracking state.  Global mode swaps the local zero-clamp for
+boundary gap values and captures H(qlen, tlen); the walkers synthesize
+the unstored row-0/column-0 boundary.  Banded long reads live in
+`banded_pallas`; `wavefront_pallas` keeps the banded full-matrix
+fallbacks.
 
 Tie-break parity with the oracle (oracle.sw_linear / sw_affine):
   * cascades DIAG > UP(F) > LEFT(E), extend >= open;
@@ -59,6 +65,7 @@ Tie-break parity with the oracle (oracle.sw_linear / sw_affine):
 from __future__ import annotations
 
 import functools
+import itertools
 
 import jax
 import jax.numpy as jnp
@@ -686,6 +693,49 @@ def strip_bucket(
     gmode = mode == "global"
     if want_tb or gmode:
         want_starts = False
+    if want_tb:
+        # HBM guard: the pointer stream costs ~n_pad*(m_pad+TI) bytes per
+        # pair; chunk oversized batches and merge.
+        q = np.asarray(q)
+        t = np.asarray(t)
+        cap_bytes = int(
+            float(_os.environ.get("SEQALIB_PTR_HBM_CAP", str(2 * 1024**3)))
+        )
+        per_pair = _ceil_to(max(q.shape[1], 1), TI) * (
+            _ceil_to(max(t.shape[1], 1), LANES) + 2 * LANES
+        )
+        cap_pairs = max(32, cap_bytes // max(per_pair, 1))
+        if q.shape[0] > cap_pairs:
+            merged = None
+            for lo in range(0, q.shape[0], cap_pairs):
+                hi = lo + cap_pairs
+                part = strip_bucket(
+                    q[lo:hi],
+                    t[lo:hi],
+                    np.asarray(qlen)[lo:hi],
+                    np.asarray(tlen)[lo:hi],
+                    table,
+                    mode=mode,
+                    gap_open=gap_open,
+                    gap_extend=gap_extend,
+                    band=band,
+                    affine=affine,
+                    want_tb=True,
+                    BSUB=BSUB,
+                )
+                if merged is None:
+                    merged = {k: [v] for k, v in part.items()}
+                else:
+                    for k, v in part.items():
+                        merged[k].append(v)
+            return {
+                k: (
+                    list(itertools.chain.from_iterable(v))
+                    if k == "cigars"
+                    else np.concatenate(v)
+                )
+                for k, v in merged.items()
+            }
     interpret = jax.devices()[0].platform != "tpu"
     q = np.asarray(q)
     t = np.asarray(t)
