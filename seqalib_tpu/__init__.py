@@ -39,3 +39,10 @@ def align_batch(queries, targets, scoring=None, mode="global", backend="pallas",
     return _align_batch(
         queries, targets, scoring=scoring, mode=mode, backend=backend, **kw
     )
+
+
+def align_all_vs_all(queries, references, **kw):
+    """Every query vs every reference (config 5). See `seqalib_tpu.api`."""
+    from .api import align_all_vs_all as _ava
+
+    return _ava(queries, references, **kw)

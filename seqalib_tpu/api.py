@@ -95,3 +95,50 @@ def align_batch(
         traceback=traceback,
         mesh=mesh,
     )
+
+
+def align_all_vs_all(
+    queries: Sequence,
+    references: Sequence,
+    scoring: Optional[ScoringParams] = None,
+    mode: str = "local",
+    backend: str = "pallas",
+    mesh=None,
+    chunk_pairs: int = 4096,
+):
+    """All-vs-all alignment (BASELINE.json config 5): every query against
+    every reference, streamed through the bucketed dispatcher in chunks
+    (optionally shard_map'ed over a device mesh).
+
+    Returns a dict of (n_queries, n_references) int32 arrays:
+    score, qs, qe, ts, te.  Tracebacks are deliberately excluded at this
+    scale; realign the hits you care about with `align`.
+    """
+    import numpy as np
+
+    sp = scoring if scoring is not None else ScoringParams.linear()
+    qs = [_coerce(q, sp) for q in queries]
+    rs = [_coerce(r, sp) for r in references]
+    nq, nr = len(qs), len(rs)
+    fields = ("score", "qs", "qe", "ts", "te")
+    out = {f: np.zeros((nq, nr), np.int32) for f in fields}
+
+    flat = [(i, j) for i in range(nq) for j in range(nr)]
+    for lo in range(0, len(flat), chunk_pairs):
+        chunk = flat[lo : lo + chunk_pairs]
+        res = align_batch(
+            [qs[i] for i, _ in chunk],
+            [rs[j] for _, j in chunk],
+            scoring=sp,
+            mode=mode,
+            backend=backend,
+            traceback=False,
+            mesh=mesh,
+        )
+        for (i, j), r in zip(chunk, res):
+            out["score"][i, j] = r.score
+            out["qs"][i, j] = r.query_start
+            out["qe"][i, j] = r.query_end
+            out["ts"][i, j] = r.target_start
+            out["te"][i, j] = r.target_end
+    return out
