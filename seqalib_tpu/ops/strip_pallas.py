@@ -83,6 +83,7 @@ TI = 128  # strip height == lane count
 # substeps unrolled per inner fori iteration (tunable for experiments)
 NSUB = int(_os.environ.get("SEQALIB_STRIP_NSUB", "8"))
 NIBBLE_BIAS = 4  # packed-profile bias; tables must fit [-4, 11]
+NEG_INF16 = -20000  # int16-mode -inf: loses every max, survives one gap step
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -133,6 +134,7 @@ def _strip_kernel(
     want_starts: bool,
     want_ptr: bool = False,
     gmode: bool = False,
+    dt16: bool = False,
 ):
     it = iter(refs)
     q_ref = next(it)  # (8, TI) strip query letters (0-based strip rows)
@@ -156,9 +158,12 @@ def _strip_kernel(
     s = pl.program_id(1)
     bgrid = pl.program_id(2) if want_ptr else None
     s0_cond = (s == 0) & (bgrid == 0) if want_ptr else (s == 0)
-    NEG = jnp.int32(NEG_INF)
-    ee = jnp.int32(gap_extend)
-    oe = jnp.int32(gap_open + gap_extend)
+    # int16 mode: score values provably fit (strip_bucket checks the
+    # bound), NEG16 never underflows int16 after one gap step
+    DT = jnp.int16 if dt16 else jnp.int32
+    NEG = DT(NEG_INF16 if dt16 else NEG_INF)
+    ee = DT(gap_extend)
+    oe = DT(gap_open + gap_extend)
     lane = jax.lax.broadcasted_iota(jnp.int32, (BSUB, LANES), 1)
     qlenv = qlenc_ref[:, 0:1]
     tlenv = tlenc_ref[:, 0:1]
@@ -168,7 +173,9 @@ def _strip_kernel(
     ipack = ivec * stride
     irow_ok = ivec <= qlenv
     # global-mode boundary: H(i, 0) = [o +] i*e  (column-0 gap)
-    gapvec = (jnp.int32(gap_open) if affine else jnp.int32(0)) + ivec * ee
+    gapvec = (
+        (DT(gap_open) if affine else DT(0)) + ivec.astype(DT) * ee
+    )
     names = _state_names(affine, want_starts, gmode)
     fnames = _feeder_names(affine, want_starts)
 
@@ -177,9 +184,9 @@ def _strip_kernel(
         # DP row 0: local H = 0 (STOP cells, start pack = j); global
         # H(0, j) = [o +] j*e with H(0,0) = 0.  F row 0 = -inf either way.
         if gmode:
-            xcol = jax.lax.broadcasted_iota(jnp.int32, hbot.shape, 1)
-            row0 = (jnp.int32(gap_open) if affine else jnp.int32(0)) + xcol * ee
-            hbot[:] = jnp.where(xcol == 0, 0, row0)
+            xcol = jax.lax.broadcasted_iota(jnp.int32, hbot.shape, 1).astype(DT)
+            row0 = (DT(gap_open) if affine else DT(0)) + xcol * ee
+            hbot[:] = jnp.where(xcol == 0, DT(0), row0)
         else:
             hbot[:] = jnp.zeros_like(hbot)
         if affine:
@@ -201,44 +208,59 @@ def _strip_kernel(
 
     def subst(Wv):
         if not profile:
-            return jnp.where(q_ref[:] == Wv, jnp.int32(match), jnp.int32(mismatch))
+            return jnp.where(q_ref[:] == Wv, DT(match), DT(mismatch))
         if packed:
-            hi = Wv >> 3
+            Wv32 = Wv.astype(jnp.int32)  # Mosaic has no i16 vector shifts
+            hi = Wv32 >> 3
             grp = jnp.where(
                 hi == 0, pp[0], jnp.where(hi == 1, pp[1], jnp.where(hi == 2, pp[2], pp[3]))
             )
-            return ((grp >> ((Wv & 7) * 4)) & 0xF) - NIBBLE_BIAS
+            sv = ((grp >> ((Wv32 & 7) * 4)) & 0xF) - NIBBLE_BIAS
+            return sv.astype(DT)
         sv = jnp.zeros((BSUB, LANES), jnp.int32)
         for a in range(A1):
             sv = jnp.where(Wv == a, prof_rows[a], sv)
-        return sv
+        return sv.astype(DT)
 
     lane0 = lane == 0
     lane_last = lane == TI - 1
 
+    def rol1(x):
+        """out[l] = x[l-1] (lane roll right by 1); Mosaic has no i16
+        rotate, so int16 arrays use the concat-shift form instead."""
+        if x.dtype == jnp.int16:
+            return jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)
+        return pltpu.roll(x, 1, axis=1)
+
+    def rolm1(x):
+        """out[l] = x[l+1] (lane roll left by 1)."""
+        if x.dtype == jnp.int16:
+            return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+        return pltpu.roll(x, LANES - 1, axis=1)
+
     def substep(k, st, lean):
         """One anti-diagonal step.  st: dict of (8,128) SSA values.
         lean=True skips left-of-matrix masking (valid once k >= TI)."""
-        Wv = jnp.where(lane0, st["TF"], pltpu.roll(st["W"], 1, axis=1))
+        Wv = jnp.where(lane0, st["TF"], rol1(st["W"]))
         s_vec = subst(Wv)
-        H1u = jnp.where(lane0, st["HF"], pltpu.roll(st["H1"], 1, axis=1))
-        H2d = jnp.where(lane0, st["DF"], pltpu.roll(st["H2"], 1, axis=1))
+        H1u = jnp.where(lane0, st["HF"], rol1(st["H1"]))
+        H2d = jnp.where(lane0, st["DF"], rol1(st["H2"]))
         d = H2d + s_vec
 
         nxt = {
             "H2": st["H1"],
             "W": Wv,
             "DF": st["HF"],
-            "TF": pltpu.roll(st["TF"], LANES - 1, axis=1),
-            "HF": pltpu.roll(st["HF"], LANES - 1, axis=1),
+            "TF": rolm1(st["TF"]),
+            "HF": rolm1(st["HF"]),
         }
 
         if affine:
             E_ext = st["E1"] + ee
             E_opn = st["H1"] + oe
             En = jnp.maximum(E_ext, E_opn)
-            F1u = jnp.where(lane0, st["FF"], pltpu.roll(st["F1"], 1, axis=1))
-            nxt["FF"] = pltpu.roll(st["FF"], LANES - 1, axis=1)
+            F1u = jnp.where(lane0, st["FF"], rol1(st["F1"]))
+            nxt["FF"] = rolm1(st["FF"])
             F_ext = F1u + ee
             F_opn = H1u + oe
             Fn = jnp.maximum(F_ext, F_opn)
@@ -247,12 +269,12 @@ def _strip_kernel(
             up_v = H1u + ee
             left_v = st["H1"] + ee
         best = jnp.maximum(jnp.maximum(d, up_v), left_v)
-        Hn = best if gmode else jnp.maximum(best, 0)
+        Hn = best if gmode else jnp.maximum(best, DT(0))
 
         if not lean:
             jvec = k - lane
             jout = jvec <= 0
-            Hn = jnp.where(jout, gapvec if gmode else 0, Hn)
+            Hn = jnp.where(jout, gapvec if gmode else DT(0), Hn)
             if affine:
                 En = jnp.where(jout, NEG, En)
                 Fn = jnp.where(jout, NEG, Fn)
@@ -285,13 +307,13 @@ def _strip_kernel(
             ptr_ref[u, :, :] = ptrv.astype(jnp.int8)
 
         if want_starts:
-            SH1u = jnp.where(lane0, st["SHF"], pltpu.roll(st["SH1"], 1, axis=1))
-            SH2d = jnp.where(lane0, st["SDF"], pltpu.roll(st["SH2"], 1, axis=1))
+            SH1u = jnp.where(lane0, st["SHF"], rol1(st["SH1"]))
+            SH2d = jnp.where(lane0, st["SDF"], rol1(st["SH2"]))
             nxt["SDF"] = st["SHF"]
-            nxt["SHF"] = pltpu.roll(st["SHF"], LANES - 1, axis=1)
+            nxt["SHF"] = rolm1(st["SHF"])
             if affine:
-                SF1u = jnp.where(lane0, st["SFF"], pltpu.roll(st["SF1"], 1, axis=1))
-                nxt["SFF"] = pltpu.roll(st["SFF"], LANES - 1, axis=1)
+                SF1u = jnp.where(lane0, st["SFF"], rol1(st["SF1"]))
+                nxt["SFF"] = rolm1(st["SFF"])
                 SEn = jnp.where(E_ext >= E_opn, st["SE1"], st["SH1"])
                 SFn = jnp.where(F_ext >= F_opn, SF1u, SH1u)
                 up_s, left_s = SFn, SEn
@@ -318,7 +340,7 @@ def _strip_kernel(
             valid = irow_ok & (jvec2 <= tlenv)
             if not lean:
                 valid = valid & (jvec2 >= 1)
-            v = jnp.where(valid, Hn, 0)
+            v = jnp.where(valid, Hn, DT(0))
             upd = v > st["BV"]
             nxt["BV"] = jnp.where(upd, v, st["BV"])
             nxt["BK"] = jnp.where(upd, ipack + jvec2, st["BK"])
@@ -327,14 +349,14 @@ def _strip_kernel(
 
         # rotating collectors: lane 127's value self-aligns into the
         # ascending-column window layout (see module docstring)
-        nxt["CH"] = jnp.where(lane_last, Hn, pltpu.roll(st["CH"], LANES - 1, axis=1))
+        nxt["CH"] = jnp.where(lane_last, Hn, rolm1(st["CH"]))
         if affine:
-            nxt["CF"] = jnp.where(lane_last, Fn, pltpu.roll(st["CF"], LANES - 1, axis=1))
+            nxt["CF"] = jnp.where(lane_last, Fn, rolm1(st["CF"]))
         if want_starts:
-            nxt["CSH"] = jnp.where(lane_last, SHn, pltpu.roll(st["CSH"], LANES - 1, axis=1))
+            nxt["CSH"] = jnp.where(lane_last, SHn, rolm1(st["CSH"]))
             if affine:
                 nxt["CSF"] = jnp.where(
-                    lane_last, SFn, pltpu.roll(st["CSF"], LANES - 1, axis=1)
+                    lane_last, SFn, rolm1(st["CSF"])
                 )
         return nxt
 
@@ -388,15 +410,17 @@ def _strip_kernel(
         st = {}
         for n in all_names:
             if n in ("E1", "F1"):
-                st[n] = jnp.full((BSUB, LANES), NEG, jnp.int32)
+                st[n] = jnp.full((BSUB, LANES), NEG, DT)
             elif n in ("BV", "SC"):
                 st[n] = bv_scr[:]
             elif n == "BK":
                 st[n] = bk_scr[:]
             elif n == "BS":
                 st[n] = bs_scr[:]
-            else:
+            elif n in ("BK", "BS", "SH1", "SH2", "SE1", "SF1", "CSH", "CSF", "SDF"):
                 st[n] = jnp.zeros((BSUB, LANES), jnp.int32)
+            else:
+                st[n] = jnp.zeros((BSUB, LANES), DT)
         return tuple(st[n] for n in all_names)
 
     if want_ptr:
@@ -409,9 +433,9 @@ def _strip_kernel(
         def _strip_init():
             for r, n in zip(state_scr, persist):
                 if n in ("E1", "F1"):
-                    r[:] = jnp.full((BSUB, LANES), NEG, jnp.int32)
+                    r[:] = jnp.full((BSUB, LANES), NEG, DT)
                 else:
-                    r[:] = jnp.zeros((BSUB, LANES), jnp.int32)
+                    r[:] = jnp.zeros_like(r)
 
         st = {n: r[:] for r, n in zip(state_scr, persist)}
         if not gmode:
@@ -446,8 +470,10 @@ def _strip_kernel(
 
         @pl.when((s == S - 1) & (bgrid == NB - 1))
         def _out_ptr():
-            bv_ref[:] = st["SC"] if gmode else st["BV"]
-            bk_ref[:] = st["SC"] if gmode else st["BK"]
+            bv_ref[:] = (st["SC"] if gmode else st["BV"]).astype(bv_ref.dtype)
+            bk_ref[:] = (
+                st["SC"].astype(bk_ref.dtype) if gmode else st["BK"]
+            )
 
         return
 
@@ -466,8 +492,8 @@ def _strip_kernel(
 
     @pl.when(s == S - 1)
     def _out():
-        bv_ref[:] = st["SC"] if gmode else st["BV"]
-        bk_ref[:] = st["SC"] if gmode else st["BK"]
+        bv_ref[:] = (st["SC"] if gmode else st["BV"]).astype(bv_ref.dtype)
+        bk_ref[:] = st["SC"].astype(bk_ref.dtype) if gmode else st["BK"]
         if want_starts:
             bs_ref[:] = st["BS"]
 
@@ -527,6 +553,7 @@ def _build_profile_rows(qpad: jax.Array, table: jax.Array) -> jax.Array:
         "want_starts",
         "want_ptr",
         "gmode",
+        "dt16",
         "interpret",
     ),
 )
@@ -551,6 +578,7 @@ def _strip_fill(
     interpret,
     want_ptr=False,
     gmode=False,
+    dt16=False,
 ):
     B, n_pad = qpad.shape
     W2 = t2.shape[1]
@@ -579,7 +607,9 @@ def _strip_fill(
         want_starts=want_starts,
         want_ptr=want_ptr,
         gmode=gmode,
+        dt16=dt16,
     )
+    DT = jnp.int16 if dt16 else jnp.int32
 
     # index maps: 2-D grid (gb, s) for the score path; 3-D (gb, s, b) with
     # steps on the minor grid dim for the pointer-emitting path
@@ -612,7 +642,9 @@ def _strip_fill(
             in_specs.append(bspec((BSUB, 32, TI), lambda gb, s: (gb, 0, s)))
 
     n_out = 3 if want_starts else 2
-    out_shapes = [jax.ShapeDtypeStruct((B, LANES), jnp.int32)] * n_out
+    out_shapes = [jax.ShapeDtypeStruct((B, LANES), DT)] + [
+        jax.ShapeDtypeStruct((B, LANES), jnp.int32)
+    ] * (n_out - 1)
     out_specs = [bspec((BSUB, LANES), lambda gb, s: (gb, 0))] * n_out
     if want_ptr:
         # v1-style 3-D pointer stream: block row-major over (gb, s, b, u);
@@ -628,19 +660,20 @@ def _strip_fill(
             )
         )
 
-    scratch = [pltpu.VMEM((BSUB, W2), jnp.int32)]  # hbot
+    scratch = [pltpu.VMEM((BSUB, W2), DT)]  # hbot
     if affine:
-        scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # fbot
+        scratch.append(pltpu.VMEM((BSUB, W2), DT))  # fbot
     if want_starts:
         scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # shbot
         if affine:
             scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # sfbot
-    scratch += [pltpu.VMEM((BSUB, LANES), jnp.int32)] * n_out
+    scratch.append(pltpu.VMEM((BSUB, LANES), DT))  # bv/SC
+    scratch += [pltpu.VMEM((BSUB, LANES), jnp.int32)] * (n_out - 1)
     if want_ptr:
         n_persist = len(_state_names(affine, False, gmode)) - (
             0 if gmode else 2
         )  # BV/BK live in their own scratch
-        scratch += [pltpu.VMEM((BSUB, LANES), jnp.int32)] * n_persist
+        scratch += [pltpu.VMEM((BSUB, LANES), DT)] * n_persist
 
     outs = pl.pallas_call(
         kernel,
@@ -770,6 +803,19 @@ def strip_bucket(
         and table_h.min() >= -NIBBLE_BIAS
         and table_h.max() <= 15 - NIBBLE_BIAS
     )
+    # int16 DP state when every reachable score provably fits: the most
+    # negative cell is bounded by |o| + (n+m)*max(|e|, |s|) and the most
+    # positive by min(n,m)*max(s).
+    smax = int(max(abs(int(table_h.min())), abs(int(table_h.max()))))
+    bound = abs(gap_open) + (n + m) * max(abs(gap_extend), smax)
+    # int16 DP state halves vregs/array (tested bit-exact in interpret
+    # mode) but this Mosaic build legalizes no i16 vector ALU ops
+    # (rotate/shift/maxsi/cmpi all missing) -- off until the toolchain
+    # catches up (SEQALIB_STRIP_INT16=1 to re-enable).
+    dt16 = bool(
+        bound < abs(NEG_INF16) - 2000
+        and _os.environ.get("SEQALIB_STRIP_INT16", "0") == "1"
+    )
     match = int(table_h[0, 0])
     mismatch = int(table_h[0, 1]) if table_h.shape[0] > 1 else match
     A1 = int(table_h.shape[0])
@@ -790,9 +836,10 @@ def strip_bucket(
     t2[:, 1 : 1 + m] = t
     t2 = np.where((xarr >= 1) & (xarr <= tlen[:, None]), t2, SENT_T).astype(np.int32)
 
+    DTh = np.int16 if dt16 else np.int32
     res = _strip_fill(
-        jnp.asarray(qpad),
-        jnp.asarray(t2),
+        jnp.asarray(qpad.astype(DTh)),
+        jnp.asarray(t2.astype(DTh)),
         jnp.asarray(qlen),
         jnp.asarray(tlen),
         jnp.asarray(table_h),
@@ -809,9 +856,10 @@ def strip_bucket(
         want_starts=want_starts,
         want_ptr=want_tb,
         gmode=gmode,
+        dt16=dt16,
         interpret=interpret,
     )
-    bv = np.asarray(res["bv"])  # (B, 128)
+    bv = np.asarray(res["bv"]).astype(np.int32)  # (B, 128)
     bk = np.asarray(res["bk"])
     stride = m + 1
     barr0 = np.arange(B)
