@@ -113,6 +113,32 @@ def banded_align_batch(
     Kp = _ceil_to(K, CK)  # the grid may run past K; widths must cover it
     qwidth = _ceil_to((Kp - dhi) // 2 + Wp + 2, LANES) + LANES
     twidth = _ceil_to(Kp + 2, LANES) + LANES
+
+    # VMEM guard: the kernel keeps the full padded letter arrays resident
+    # (qwidth + twidth int32 per pair) plus ~8 band-state rows; chunk the
+    # batch so one call fits the ~16MB VMEM (windowed letter streaming is
+    # the planned fix for large B at 100kb).
+    import os as _os
+
+    vmem_cap = int(_os.environ.get("SEQALIB_BANDED_VMEM_CAP", str(8 * 1024**2)))
+    per_pair = (qwidth + twidth + 10 * Wp) * 4
+    max_b = max(1, vmem_cap // per_pair)
+    if B > max_b:
+        out: List[AlignResult] = []
+        for lo in range(0, B, max_b):
+            out.extend(
+                banded_align_batch(
+                    qs[lo : lo + max_b],
+                    ts[lo : lo + max_b],
+                    qlen[lo : lo + max_b],
+                    tlen[lo : lo + max_b],
+                    sp,
+                    band,
+                    traceback=traceback,
+                    CK=CK,
+                )
+            )
+        return out
     qk = jnp.asarray(_pad_letters(qs, qwidth, 4, qlen))
     tk = jnp.asarray(_pad_letters(ts, twidth, 5, tlen))
     qlen_j = jnp.asarray(qlen, jnp.int32)
