@@ -16,14 +16,16 @@ on the CPU — per-cell Python callbacks are not accelerator-expressible
 ``seqalib_tpu.align`` / ``align_batch``.
 
 Tie-break semantics are identical to the engine contract (SURVEY.md §2.2):
-DIAG > UP (consume s1) > LEFT (consume s2); B&B FOGSAA is deliberately
-omitted — exact NW returns the same optimal global alignments
-(SURVEY.md §2.1 "FOGSAA: out of scope").
+DIAG > UP (consume s1) > LEFT (consume s2).  ``FOGSAA`` (branch-and-bound
+global alignment) lives here too: its best-first search is control-flow
+divergent and therefore CPU-only; the accelerated engine covers the same
+capability (optimal global alignment) with exact NW (SURVEY.md §2.1).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import heapq
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 MatchFn = Callable[[Any, Any], bool]
@@ -243,6 +245,95 @@ class HirschbergSA(SequenceAligner):
         e1, sc1 = self._hirschberg(s1[:mid], s2[:split])
         e2, sc2 = self._hirschberg(s1[mid:], s2[split:])
         return e1 + e2, sc1 + sc2
+
+
+class FOGSAA(SequenceAligner):
+    """Branch-and-bound optimal global alignment (reference FOGSAA.h,
+    SURVEY.md §2.1: "priority-queue expansion").
+
+    Best-first expansion of the alignment DAG ordered by
+    ``present score + Fmax(remainder)``, where the optimistic future score
+    ``Fmax(x1, x2) = min(x1, x2) * best_pair + |x1 - x2| * gap`` is
+    admissible (never underestimates) and consistent for ``gap <= 0 <=
+    match``, so the first time the terminal node (n, m) is popped its
+    score is the NW-optimal global score and no node is expanded twice.
+    Branches whose optimistic total cannot beat an already-found terminal
+    score are never popped — the pruning that defines FOGSAA.  Among
+    co-optimal alignments the returned path may differ from NW's strict
+    DIAG > UP > LEFT order (children are enqueued diagonal-first, so ties
+    lean the same way, but global tie order is not guaranteed — the score
+    is).
+
+    Falls back to :class:`NeedlemanWunschSA` when ``gap_penalty > 0`` or
+    ``match_profit < 0`` (the bound is only admissible outside that
+    regime).  ``expanded`` records the node count of the last search for
+    pruning diagnostics.
+    """
+
+    expanded: int = 0
+
+    def get_alignment(self, s1, s2) -> AlignedSequence:
+        sc = self.scoring
+        best_pair = max(
+            sc.match_profit,
+            sc.mismatch_penalty if sc.allow_mismatch else sc.match_profit,
+        )
+        if sc.gap_penalty > 0 or best_pair < 0:
+            return NeedlemanWunschSA(sc, self.match_fn, self.blank).get_alignment(
+                s1, s2
+            )
+        n, m = len(s1), len(s2)
+        g = sc.gap_penalty
+
+        def fmax(i: int, j: int) -> int:
+            x1, x2 = n - i, m - j
+            return min(x1, x2) * best_pair + abs(x1 - x2) * g
+
+        NEG = -(1 << 50)
+        best_g = {(0, 0): 0}
+        parent = {}  # (i, j) -> (pi, pj, AlignedEntry)
+        heap = [(-fmax(0, 0), 0, 0, 0)]  # (-f, push-order, i, j)
+        cnt = 0
+        self.expanded = 0
+        while heap:
+            nf, _, i, j = heapq.heappop(heap)
+            gc = best_g[(i, j)]
+            if -nf != gc + fmax(i, j):
+                continue  # stale entry: a better path reached (i, j) later
+            self.expanded += 1
+            if i == n and j == m:
+                ents: List[AlignedEntry] = []
+                while (i, j) != (0, 0):
+                    i, j, ent = parent[(i, j)]
+                    ents.append(ent)
+                ents.reverse()
+                return AlignedSequence(ents, gc, self.blank)
+            # children diagonal-first so equal-f ties pop DIAG > UP > LEFT
+            kids = []
+            if i < n and j < m:
+                ps = self._pair_score(s1[i], s2[j])
+                if ps is not None:
+                    kids.append(
+                        (i + 1, j + 1, gc + ps,
+                         AlignedEntry(s1[i], s2[j], self.match_fn(s1[i], s2[j])))
+                    )
+            if i < n:
+                kids.append((i + 1, j, gc + g, AlignedEntry(s1[i], self.blank, False)))
+            if j < m:
+                kids.append(
+                    (i, j + 1, gc + g, AlignedEntry(self.blank, s2[j], False))
+                )
+            for kid in kids:
+                ci, cj, cg, ent = kid
+                if cg > best_g.get((ci, cj), NEG):
+                    best_g[(ci, cj)] = cg
+                    parent[(ci, cj)] = (i, j, ent)
+                    cnt += 1
+                    heapq.heappush(heap, (-(cg + fmax(ci, cj)), cnt, ci, cj))
+        # unreachable terminal: possible only with allow_mismatch=False and
+        # no all-gap route pruned — the all-gap path always exists, so this
+        # is truly unreachable; guard for safety.
+        raise RuntimeError("FOGSAA search exhausted without reaching (n, m)")
 
 
 class SmithWatermanSA(SequenceAligner):

@@ -3,6 +3,7 @@
 import numpy as np
 
 from seqalib_tpu.models.generic import (
+    FOGSAA,
     AlignedSequence,
     DiagonalWindowsSA,
     HirschbergSA,
@@ -74,6 +75,57 @@ def test_arbitrary_objects_and_match_fn():
     # mul must be gapped (allow_mismatch=False)
     gapped = [e for e in res if e.b is None]
     assert len(gapped) == 1 and gapped[0].a == ("mul", 2)
+
+
+def _score_of(ents, sc, match_fn=lambda a, b: a == b):
+    s = 0
+    for e in ents:
+        if e.a is None or e.b is None:
+            s += sc.gap_penalty
+        elif match_fn(e.a, e.b):
+            s += sc.match_profit
+        else:
+            s += sc.mismatch_penalty
+    return s
+
+
+def test_fogsaa_score_equals_nw():
+    rng = np.random.default_rng(7)
+    sc = ScoringSystem(gap_penalty=-2, match_profit=2, mismatch_penalty=-3)
+    for _ in range(8):
+        s1 = list(rng.integers(0, 4, rng.integers(0, 35)))
+        s2 = list(rng.integers(0, 4, rng.integers(0, 35)))
+        nw = NeedlemanWunschSA(sc).get_alignment(s1, s2)
+        fg = FOGSAA(sc).get_alignment(s1, s2)
+        assert fg.score == nw.score
+        # valid full alignment of both inputs, score self-consistent
+        assert [e.a for e in fg if e.a is not None] == s1
+        assert [e.b for e in fg if e.b is not None] == s2
+        assert _score_of(fg.entries, sc) == fg.score
+
+
+def test_fogsaa_prunes_on_similar_sequences():
+    rng = np.random.default_rng(8)
+    sc = ScoringSystem(gap_penalty=-3, match_profit=2, mismatch_penalty=-3)
+    s1 = list(rng.integers(0, 4, 60))
+    s2 = list(s1)
+    s2[30] = (s2[30] + 1) % 4
+    sa = FOGSAA(sc)
+    res = sa.get_alignment(s1, s2)
+    assert res.score == NeedlemanWunschSA(sc).get_alignment(s1, s2).score
+    # branch-and-bound must expand far fewer nodes than the full DP grid
+    assert sa.expanded < (len(s1) + 1) * (len(s2) + 1) // 4
+
+
+def test_fogsaa_no_mismatch_mode():
+    sc = ScoringSystem(gap_penalty=-1, match_profit=3, allow_mismatch=False)
+    ops1 = [("add", 1), ("mul", 2), ("ld", 3)]
+    ops2 = [("add", 9), ("ld", 7)]
+    fn = lambda a, b: a[0] == b[0]
+    fg = FOGSAA(sc, match_fn=fn).get_alignment(ops1, ops2)
+    nw = NeedlemanWunschSA(sc, match_fn=fn).get_alignment(ops1, ops2)
+    assert fg.score == nw.score
+    assert fg.matches() == 2
 
 
 def test_aligned_sequence_container():
