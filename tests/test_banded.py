@@ -86,6 +86,16 @@ def test_banded_matches_unbanded_when_wide(rng):
     assert res[0].cigar == ref.cigar
 
 
+def test_banded_vmem_chunking_preserves_results(rng, monkeypatch):
+    """The VMEM guard splits oversized batches; results must be identical
+    to the unchunked call, in order."""
+    qs, ts, qlen, tlen = _random_bucket(rng, [48] * 5, [52] * 5)
+    full = banded_align_batch(qs, ts, qlen, tlen, SP, band=8, traceback=True, CK=32)
+    monkeypatch.setenv("SEQALIB_BANDED_VMEM_CAP", "1")  # forces max_b == 1
+    chunked = banded_align_batch(qs, ts, qlen, tlen, SP, band=8, traceback=True, CK=32)
+    assert [str(r) for r in chunked] == [str(r) for r in full]
+
+
 def test_banded_rejects_mixed_delta(rng):
     qs, ts, qlen, tlen = _random_bucket(rng, [30, 30], [34, 32])
     with pytest.raises(ValueError):
