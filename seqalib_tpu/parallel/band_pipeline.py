@@ -1,0 +1,215 @@
+"""Sequence-parallel pipelined wavefront for ONE long pair over a mesh.
+
+The data-parallel layer (`dist.py`) scales the *pair stream*; this module
+scales a *single long alignment* across devices — the SP/CP role in
+SURVEY.md §2.3 ("intra-pair ... one pair or band per core"), which the
+sequential reference has no analog of (SURVEY.md §2.1).
+
+Design (TPU-idiomatic pipeline, the ring-attention-shaped analog for DP
+matrices):
+
+* The query's rows are split into ``D`` contiguous row-blocks, one per
+  device on mesh axis ``'band'``; the target's columns into tiles of
+  ``C`` columns.
+* Device ``d`` computes tile ``t`` of its row-block at pipeline step
+  ``s = t + d``.  The only cross-device dependency of a row-block tile
+  is its *top boundary* — H/F of the row immediately above, for that
+  tile's columns — produced by device ``d-1`` one step earlier and
+  streamed with a single ``lax.ppermute`` per step (ICI neighbor
+  traffic, no all-to-all).  Left-boundary column state (H/E) is local
+  and carried between a device's own consecutive tiles.
+* Inside a tile, the Gotoh recurrence runs as an anti-diagonal wavefront
+  (`lax.scan` over R+C-1 substeps, lanes = the block's R rows), exactly
+  the oracle's affine cell (oracle.py::_gotoh_fill) without traceback
+  state: this path is score-only v1.  Pipeline fill/drain overhead is
+  ``(D-1)/(n_tiles + D - 1)``.
+
+Backend: pure XLA (shard_map + scan + ppermute) so it compiles for any
+mesh, including the driver's faked CPU mesh; a Pallas strip-kernel tile
+body is the planned follow-up once multi-chip hardware is available for
+measurement.
+
+Score-only and scalar match/mismatch scoring (the long-read domain,
+matching `models/banded.py`); traceback for long reads lives in the
+banded checkpointed path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+BAND_AXIS = "band"
+NEG = -(1 << 28)  # dominates any reachable score; safe from int32 overflow
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
+               match, mismatch, o, e):
+    """One R x C tile of the Gotoh fill.
+
+    qb: (R,) block query letters.  t: full padded target (replicated).
+    H_top/F_top: (C+1,)/(C,) top boundary rows (H includes the corner at
+    index 0).  Hcol0/Ecol0: (R,) left boundary (H/E of column j0).
+    Returns (bottom_H (C,), bottom_F (C,), Hcol' (R,), Ecol' (R,), cap').
+    """
+    R = qb.shape[0]
+    lanes = jnp.arange(R)
+    lane0 = lanes == 0
+    lane_last = R - 1
+    ivec = i0 + lanes + 1  # global DP row per lane
+    Hcol0_up = jnp.roll(Hcol0, 1)  # Hcol0[p-1]; lane0 slot replaced below
+
+    def substep(carry, k):
+        H1, H2, E1, F1, W, Hcol_n, Ecol_n, cap = carry
+        c = k - lanes + 1  # local column per lane
+        at_c1 = c == 1
+        # target letter at global column j0 + c (streamed via lane roll)
+        W = jnp.where(lane0, t[j0 + k + 1], jnp.roll(W, 1))
+        s_vec = jnp.where(qb == W, match, mismatch)
+        up_H = jnp.where(lane0, H_top[jnp.minimum(k + 1, C)], jnp.roll(H1, 1))
+        up_F = jnp.where(lane0, F_top[jnp.minimum(k, C - 1)], jnp.roll(F1, 1))
+        diag_H = jnp.where(
+            lane0,
+            H_top[jnp.minimum(k, C)],
+            jnp.where(at_c1, Hcol0_up, jnp.roll(H2, 1)),
+        )
+        left_H = jnp.where(at_c1, Hcol0, H1)
+        left_E = jnp.where(at_c1, Ecol0, E1)
+
+        E_new = jnp.maximum(left_E + e, left_H + o + e)
+        F_new = jnp.maximum(up_F + e, up_H + o + e)
+        H_new = jnp.maximum(diag_H + s_vec, jnp.maximum(E_new, F_new))
+
+        at_cC = c == C
+        Hcol_n = jnp.where(at_cC, H_new, Hcol_n)
+        Ecol_n = jnp.where(at_cC, E_new, Ecol_n)
+        jvec = j0 + c
+        hit = (ivec == n) & (jvec == m)
+        cap = jnp.maximum(cap, jnp.max(jnp.where(hit, H_new, NEG)))
+        new_carry = (H_new, H1, E_new, F_new, W, Hcol_n, Ecol_n, cap)
+        return new_carry, (H_new[lane_last], F_new[lane_last])
+
+    init = (
+        jnp.full((R,), NEG, jnp.int32),  # H1
+        jnp.full((R,), NEG, jnp.int32),  # H2
+        jnp.full((R,), NEG, jnp.int32),  # E1
+        jnp.full((R,), NEG, jnp.int32),  # F1
+        jnp.zeros((R,), jnp.int32),  # W
+        Hcol0,
+        Ecol0,
+        cap0,
+    )
+    carry, (bot_H, bot_F) = jax.lax.scan(
+        substep, init, jnp.arange(R + C - 1, dtype=jnp.int32)
+    )
+    _, _, _, _, _, Hcol_n, Ecol_n, cap = carry
+    return bot_H[R - 1 :], bot_F[R - 1 :], Hcol_n, Ecol_n, cap
+
+
+def _pipeline_body(q, t, *, n, m, R, C, D, n_tiles, match, mismatch, o, e,
+                   axis=BAND_AXIS):
+    """Per-device shard_map body: scan over pipeline steps with ppermute."""
+    d = jax.lax.axis_index(axis)
+    i0 = d * R
+    qb = jax.lax.dynamic_slice(q, (i0,), (R,))
+    col0 = jnp.arange(C + 1, dtype=jnp.int32)
+
+    def init_top(j0):
+        # DP row 0: H(0, j) = o + j*e (H(0,0) = 0); F(0, j) = -inf
+        jcols = j0 + col0
+        H_top = jnp.where(jcols == 0, 0, o + jcols * e)
+        return H_top, jnp.full((C,), NEG, jnp.int32)
+
+    # left boundary column 0: H(i, 0) = o + i*e, E(i, 0) = -inf
+    Hcol_init = (o + (i0 + jnp.arange(R) + 1) * e).astype(jnp.int32)
+    Ecol_init = jnp.full((R,), NEG, jnp.int32)
+
+    def step(carry, s):
+        Hcol, Ecol, cap, pkt = carry
+        t_idx = s - d
+        active = (t_idx >= 0) & (t_idx < n_tiles)
+        j0 = jnp.clip(t_idx, 0, n_tiles - 1) * C
+        H0, F0 = init_top(j0)
+        H_top = jnp.where(d == 0, H0, pkt[: C + 1])
+        F_top = jnp.where(d == 0, F0, pkt[C + 1 :])
+        bot_H, bot_F, Hcol_n, Ecol_n, cap_n = _tile_scan(
+            qb, t, j0, H_top, F_top, Hcol, Ecol, cap,
+            C=C, i0=i0, n=n, m=m, match=match, mismatch=mismatch, o=o, e=e,
+        )
+        # next device's top-row packet: corner H(i0+R, j0) = this tile's
+        # left boundary bottom lane, then the tile's bottom H and F rows
+        pkt_out = jnp.concatenate([Hcol[R - 1 :], bot_H, bot_F])
+        Hcol = jnp.where(active, Hcol_n, Hcol)
+        Ecol = jnp.where(active, Ecol_n, Ecol)
+        cap = jnp.where(active, cap_n, cap)
+        pkt_next = jax.lax.ppermute(
+            pkt_out, axis, [(i, (i + 1) % D) for i in range(D)]
+        )
+        return (Hcol, Ecol, cap, pkt_next), None
+
+    steps = jnp.arange(n_tiles + D - 1, dtype=jnp.int32)
+    init = (
+        Hcol_init,
+        Ecol_init,
+        jnp.int32(NEG),
+        jnp.zeros((2 * C + 1,), jnp.int32),
+    )
+    (Hcol, Ecol, cap, _), _ = jax.lax.scan(step, init, steps)
+    return jax.lax.pmax(cap, axis)
+
+
+def make_band_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name 'band'."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (BAND_AXIS,))
+
+
+def nw_affine_score_sp(q, t, sp, mesh: Mesh, C: int = 128) -> int:
+    """Global affine-gap alignment SCORE of one long pair, computed
+    cooperatively by every device on ``mesh``'s 'band' axis.
+
+    Exact (full-matrix) Gotoh score, identical to oracle.nw_affine; scalar
+    match/mismatch scoring (the long-read domain).  q/t: 1-D int letter
+    codes.  Pipeline: row-blocks x column-tiles, one ppermute per step.
+    """
+    if sp.matrix is not None:
+        raise NotImplementedError("SP pipeline is match/mismatch scoring only")
+    q = np.asarray(q)
+    t = np.asarray(t)
+    n, m = len(q), len(t)
+    if n == 0 or m == 0:
+        if n == 0 and m == 0:
+            return 0
+        return sp.gap_open + max(n, m) * sp.gap_extend
+    D = mesh.shape[BAND_AXIS]
+    R = max(1, _ceil_to(n, D) // D)
+    n_tiles = max(1, _ceil_to(m, C) // C)
+    # pad: extra rows/cols never feed cell (n, m) (DP flows down/right)
+    q_pad = np.full(D * R, 0, np.int32)
+    q_pad[:n] = q
+    t_pad = np.full(n_tiles * C + C + 2, 4, np.int32)
+    t_pad[1 : 1 + m] = t  # t_pad[x] = t[x - 1] (1-based column indexing)
+
+    body = functools.partial(
+        _pipeline_body,
+        n=n, m=m, R=R, C=C, D=D, n_tiles=n_tiles,
+        match=sp.match, mismatch=sp.mismatch,
+        o=sp.gap_open, e=sp.gap_extend,
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None), P(None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    score = jax.jit(fn)(jnp.asarray(q_pad), jnp.asarray(t_pad))
+    return int(score)
