@@ -37,6 +37,8 @@ def main():
     B = int(os.environ.get("BENCH_B", "64"))
     L = int(os.environ.get("BENCH_L", "1024"))
     BSUB = int(os.environ.get("BENCH_BSUB", "64"))
+    BSUB = min(BSUB, B)
+    B = -(-B // BSUB) * BSUB  # pad to a BSUB multiple: all grid work is real
     reps = int(os.environ.get("BENCH_REPS", "5"))
     X1 = int(os.environ.get("BENCH_X1", "2"))
     X2 = int(os.environ.get("BENCH_X2", "8"))
@@ -62,7 +64,7 @@ def main():
         jnp.asarray(table_h),
     )
     kw = dict(
-        BSUB=min(BSUB, B),
+        BSUB=BSUB,
         mq=L,
         match=int(table_h[0, 0]),
         mismatch=int(table_h[0, 1]),
@@ -104,6 +106,7 @@ def main():
         json.dumps(
             {
                 "metric": f"GCUPS/chip sw-affine-blosum62-{L}x{L} B={B} "
+                f"BSUB={kw['BSUB']} "  # effective (clamped to B) kernel batch
                 f"coords={'start+end' if want_starts else 'end'} "
                 f"({jax.devices()[0].platform})",
                 "value": round(gcups, 3),

@@ -583,6 +583,9 @@ def _strip_fill(
     B, n_pad = qpad.shape
     W2 = t2.shape[1]
     S = n_pad // TI
+    # callers (strip_bucket) pad B to a BSUB multiple; a remainder would
+    # silently drop pairs off the grid
+    assert B % BSUB == 0, f"batch {B} not a multiple of BSUB {BSUB}"
     GB = B // BSUB
     NB = (W2 - LANES) // LANES
     assert not (want_ptr and want_starts)
