@@ -25,6 +25,7 @@ def mesh():
         (97, 203, 50),  # skewed shapes
         (5, 400, 64),  # fewer rows than devices * 1
         (40, 7, 16),  # target shorter than one tile
+        (300, 100, 8),  # row-block R far exceeds tile width C
     ],
 )
 def test_sp_score_matches_oracle(mesh, n, m, C):
