@@ -10,8 +10,15 @@ Bit-exactness contract (vs seqalib_tpu.oracle):
   * identical max-cascade tie-breaks (DIAG > UP(F) > LEFT(E); extend >= open);
   * identical local-mode stop rule (candidate <= 0 -> 0/STOP) and argmax
     tie-break (smallest i, then smallest j);
-  * banded: out-of-band lanes are forced to exactly NEG_INF each diagonal,
-    reproducing the oracle's skipped-cell semantics.
+  * local coords + CIGAR via the TWO-PASS canonical scheme (oracle.py module
+    docstring): end from the local fill's argmax; start from an anchored
+    reverse-extension fill over the reversed prefixes; CIGAR from the
+    canonical global traceback of the [qs:qe] x [ts:te] window.  No per-cell
+    start-lineage state is carried — that in-fill tracking was a structural
+    2x on the hot kernels (VERDICT.md round-1 item 1) and this backend keeps
+    the same observable contract;
+  * banded (global only): out-of-band lanes are forced to exactly NEG_INF
+    each diagonal, reproducing the oracle's skipped-cell semantics.
 
 Diagonal-index layout: diagonal k holds cells (i, j=k-i) in a dense vector
 indexed by i in [0, Lq]; target letters for a diagonal are a contiguous
@@ -44,37 +51,30 @@ def _shift1(x, fill):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "mode",
-        "gap_open",
-        "gap_extend",
-        "band",
-        "affine",
-        "want_tb",
-    ),
-)
-def wavefront_bucket(
-    q: jax.Array,  # (B, Lq) int32 codes, padded with any valid code
+def _scan_fill(
+    q: jax.Array,  # (B, Lq) int32 codes, padded with the sentinel code
     t: jax.Array,  # (B, Lt) int32 codes
     qlen: jax.Array,  # (B,) int32 true lengths
     tlen: jax.Array,  # (B,) int32
     table: jax.Array,  # (A1, A1) int32 substitution, sentinel row/col = last
     *,
-    mode: str,
+    kind: str,  # "local" | "global" | "extension"
     gap_open: int,
     gap_extend: int,
     band: Optional[int],
     affine: bool,
     want_tb: bool,
 ):
-    """Run the wavefront DP over one padded bucket; returns result arrays.
+    """One wavefront fill over a padded bucket.
 
-    Returns dict with:
-      score (B,) i32; qs/qe/ts/te (B,) i32;
-      ops_rev (B, Lq+Lt) u8 traceback ops in end->start order, OP_PAD padded
-      (only when want_tb).
+    kind="local":      SW clamp/STOP semantics; returns per-slot argmax
+                       (bv, bk) for the canonical end reduction.
+    kind="extension":  anchored global recurrence (gap boundaries, no
+                       clamp) with the same argmax tracking — pass 2 of
+                       the two-pass local coords scheme.
+    kind="global":     NW; returns the captured final-cell score.
+    want_tb (global only): additionally stacks the packed pointer bytes
+    per diagonal for the traceback walk.
     """
     B, Lq = q.shape
     Lt = t.shape[1]
@@ -85,7 +85,10 @@ def wavefront_bucket(
     g = gap_extend  # linear gap
     A1 = table.shape[0]
     SENT = A1 - 1
-    local = mode == "local"
+    local = kind == "local"
+    track = kind in ("local", "extension")
+    assert not (want_tb and track), "pointer stash is a global-fill feature"
+    assert band is None or kind == "global", "banded fills are global-only"
     table_flat = table.reshape(-1)
 
     NEG = jnp.int32(NEG_INF)
@@ -120,20 +123,22 @@ def wavefront_bucket(
         idx = qpad * A1 + W
         return jnp.take(table_flat, idx, axis=0)
 
-    # ------------------------------------------------------------------ fill
-    # Local-mode start tracking: each cell carries the packed (i, j) of the
-    # STOP cell its optimal path begins at, propagated along the same
-    # pointers the traceback would follow (stride m+1 packing).
-    stride = m + 1
-
-    def pack_ij(k):
-        # packed (i, j=k-i) per slot; junk for out-of-wavefront slots (masked).
-        return iarr[None, :] * stride + (k - iarr[None, :])
+    def track_update(k, Hn, bv, bk):
+        j = k - iarr[None, :]
+        valid = (
+            (iarr[None, :] >= 1)
+            & (iarr[None, :] <= qlen[:, None])
+            & (j >= 1)
+            & (j <= tlen[:, None])
+        )
+        v = jnp.where(valid, Hn, 0)
+        upd = v > bv  # strict >: first max in scan order per slot
+        return jnp.where(upd, v, bv), jnp.where(upd, k, bk)
 
     if not affine:
 
         def body(carry, k):
-            H1, H2, SH1, SH2, score, bv, bk, bs = carry
+            H1, H2, score, bv, bk = carry
             s_vec = subst_diag(k)
             d = _shift1(H2, NEG) + s_vec
             u = _shift1(H1, NEG) + g
@@ -155,57 +160,36 @@ def wavefront_bucket(
             if local:
                 Hn = jnp.where(bmask, 0, Hn)
                 ptr = jnp.where(bmask, PTR_STOP, ptr).astype(jnp.uint8)
-                SHn = jnp.where(
-                    ptr[:] == PTR_DIAG,
-                    _shift1(SH2, 0),
-                    jnp.where(ptr[:] == PTR_UP, _shift1(SH1, 0), SH1),
-                )
-                SHn = jnp.where(ptr[:] == PTR_STOP, pack_ij(k), SHn)
             else:
                 Hn = jnp.where(bmask, k * g, Hn)
                 bptr = jnp.where(iarr[None, :] == 0, PTR_LEFT, PTR_UP)
                 bptr = jnp.where(k == 0, PTR_STOP, bptr)
                 ptr = jnp.where(bmask, bptr, ptr).astype(jnp.uint8)
-                SHn = SH1
             (Hn,) = band_mask_apply(k, Hn)
 
-            if local:
-                j = k - iarr[None, :]
-                valid = (
-                    (iarr[None, :] >= 1)
-                    & (iarr[None, :] <= qlen[:, None])
-                    & (j >= 1)
-                    & (j <= tlen[:, None])
-                )
-                v = jnp.where(valid, Hn, 0)
-                upd = v > bv
-                bv = jnp.where(upd, v, bv)
-                bk = jnp.where(upd, k, bk)
-                bs = jnp.where(upd, SHn, bs)
+            if track:
+                bv, bk = track_update(k, Hn, bv, bk)
             else:
                 fin = k == (qlen + tlen)
                 sc_k = jnp.take_along_axis(Hn, qlen[:, None], axis=1)[:, 0]
                 score = jnp.where(fin, sc_k, score)
             ys = ptr if want_tb else None
-            return (Hn, H1, SHn, SH1, score, bv, bk, bs), ys
+            return (Hn, H1, score, bv, bk), ys
 
         init = (
             jnp.full((B, N1), NEG, jnp.int32),
             jnp.full((B, N1), NEG, jnp.int32),
-            jnp.zeros((B, N1), jnp.int32),
-            jnp.zeros((B, N1), jnp.int32),
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((B, N1), jnp.int32),
             jnp.zeros((B, N1), jnp.int32),
-            jnp.zeros((B, N1), jnp.int32),
         )
-        (H1, _, _, _, score, bv, bk, bs), P = jax.lax.scan(
+        (_, _, score, bv, bk), P = jax.lax.scan(
             body, init, jnp.arange(K, dtype=jnp.int32)
         )
     else:
 
         def body(carry, k):
-            H1, H2, E1, F1, SH1, SH2, SE1, SF1, score, bv, bk, bs = carry
+            H1, H2, E1, F1, score, bv, bk = carry
             s_vec = subst_diag(k)
             E_ext = E1 + e
             E_opn = H1 + o + e
@@ -236,31 +220,10 @@ def wavefront_bucket(
                 bmask = (iarr[None, :] == 0) | (iarr[None, :] == k)
                 Hn = jnp.where(bmask, 0, Hn)
                 ptr = jnp.where(bmask, PTR_STOP, ptr)
-                SEn = jnp.where(ext_e, SE1, SH1)
-                SFn = jnp.where(ext_f, _shift1(SF1, 0), _shift1(SH1, 0))
-                SHn = jnp.where(
-                    ptr == PTR_DIAG,
-                    _shift1(SH2, 0),
-                    jnp.where(ptr == PTR_UP, SFn, SEn),
-                )
-                SHn = jnp.where(ptr == PTR_STOP, pack_ij(k), SHn)
-            else:
-                SEn, SFn, SHn = SE1, SF1, SH1
             Hn, En, Fn = band_mask_apply(k, Hn, En, Fn)
 
-            if local:
-                j = k - iarr[None, :]
-                valid = (
-                    (iarr[None, :] >= 1)
-                    & (iarr[None, :] <= qlen[:, None])
-                    & (j >= 1)
-                    & (j <= tlen[:, None])
-                )
-                v = jnp.where(valid, Hn, 0)
-                upd = v > bv
-                bv = jnp.where(upd, v, bv)
-                bk = jnp.where(upd, k, bk)
-                bs = jnp.where(upd, SHn, bs)
+            if track:
+                bv, bk = track_update(k, Hn, bv, bk)
             else:
                 fin = k == (qlen + tlen)
                 sc_k = jnp.take_along_axis(Hn, qlen[:, None], axis=1)[:, 0]
@@ -274,28 +237,23 @@ def wavefront_bucket(
                 ys = pbyte
             else:
                 ys = None
-            return (Hn, H1, En, Fn, SHn, SH1, SEn, SFn, score, bv, bk, bs), ys
+            return (Hn, H1, En, Fn, score, bv, bk), ys
 
         init = (
             jnp.full((B, N1), NEG, jnp.int32),
             jnp.full((B, N1), NEG, jnp.int32),
             jnp.full((B, N1), NEG, jnp.int32),
             jnp.full((B, N1), NEG, jnp.int32),
-            jnp.zeros((B, N1), jnp.int32),
-            jnp.zeros((B, N1), jnp.int32),
-            jnp.zeros((B, N1), jnp.int32),
-            jnp.zeros((B, N1), jnp.int32),
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((B, N1), jnp.int32),
             jnp.zeros((B, N1), jnp.int32),
-            jnp.zeros((B, N1), jnp.int32),
         )
-        (H1, _, _, _, _, _, _, _, score, bv, bk, bs), P = jax.lax.scan(
+        (_, _, _, _, score, bv, bk), P = jax.lax.scan(
             body, init, jnp.arange(K, dtype=jnp.int32)
         )
 
-    # ------------------------------------------------------------- coords
-    if local:
+    out = {}
+    if track:
         # per-slot bests -> global argmax with smallest-i, then smallest-j.
         maxv = jnp.max(bv, axis=1)  # (B,)
         big = jnp.int32(1 << 30)
@@ -303,37 +261,25 @@ def wavefront_bucket(
         bi = jnp.min(cand_i, axis=1).astype(jnp.int32)
         bkk = jnp.take_along_axis(bk, bi[:, None], axis=1)[:, 0]
         bj = bkk - bi
-        score = maxv
-        empty = score <= 0
-        bi = jnp.where(empty, 0, bi)
-        bj = jnp.where(empty, 0, bj)
-        start_i, start_j = bi, bj
-        qe, te = bi, bj
-        # propagated start of the optimal path (== traceback's landing cell)
-        ps = jnp.take_along_axis(bs, bi[:, None], axis=1)[:, 0]
-        si = jnp.where(empty, 0, ps // stride)
-        sj = jnp.where(empty, 0, ps % stride)
+        empty = maxv <= 0
+        out["score"] = maxv
+        out["bi"] = jnp.where(empty, 0, bi)
+        out["bj"] = jnp.where(empty, 0, bj)
     else:
-        start_i, start_j = qlen, tlen
-        qe, te = qlen, tlen
-        si = jnp.zeros_like(score)
-        sj = jnp.zeros_like(score)
+        out["score"] = score
+    if want_tb:
+        out["P"] = P
+    return out
 
-    out = {"score": score, "qe": qe, "te": te}
 
-    if not want_tb:
-        out["qs"] = si
-        out["ts"] = sj
-        return out
+def _global_walk(P, start_i, start_j, done0, *, affine, B, N1, steps):
+    """In-jit pointer walk from (start_i, start_j) back to the origin.
 
-    # --------------------------------------------------------- traceback
-    # P: (K, B, N1) uint8; gather per pair at flat index (i+j)*B*N1 + b*N1 + i
+    P: (K, B, N1) packed pointer bytes from a global fill.  Returns
+    (fi, fj, ops_rev) with ops_rev (steps, B) in end->start order.
+    """
     P_flat = P.reshape(-1)
     barr = jnp.arange(B, dtype=jnp.int32)
-    if local:
-        done0 = score <= 0
-    else:
-        done0 = jnp.zeros((B,), bool)
 
     def cell_byte(i, j):
         idx = (i + j) * (B * N1) + barr * N1 + i
@@ -358,7 +304,7 @@ def wavefront_bucket(
             return (i, j, done_n), op
 
         (fi, fj, _), ops_rev = jax.lax.scan(
-            tb_body, (start_i, start_j, done0), None, length=n + m
+            tb_body, (start_i, start_j, done0), None, length=steps
         )
     else:
         ST_H, ST_E, ST_F = 0, 1, 2
@@ -394,10 +340,144 @@ def wavefront_bucket(
 
         st0 = jnp.zeros((B,), jnp.int32)
         (fi, fj, _, _), ops_rev = jax.lax.scan(
-            tb_body, (start_i, start_j, st0, done0), None, length=n + m
+            tb_body, (start_i, start_j, st0, done0), None, length=steps
         )
+    return fi, fj, ops_rev
 
-    out["qs"] = fi
-    out["ts"] = fj
-    out["ops_rev"] = ops_rev.T  # (B, n+m), end->start order
+
+def _gather_window(x: jax.Array, start: jax.Array, length: jax.Array, sent: int):
+    """(B, L) gather: out[b, k] = x[b, start[b]+k] for k < length[b], else
+    the sentinel code.  Static output shape == input shape."""
+    B, L = x.shape
+    k = jnp.arange(L, dtype=jnp.int32)[None, :]
+    idx = start[:, None].astype(jnp.int32) + k
+    vals = jnp.take_along_axis(x.astype(jnp.int32), jnp.clip(idx, 0, L - 1), axis=1)
+    return jnp.where(k < length[:, None], vals, sent)
+
+
+def _gather_reversed(x: jax.Array, end: jax.Array, sent: int):
+    """(B, L) gather: out[b, k] = x[b, end[b]-1-k] for k < end[b], else the
+    sentinel code — the reversed prefix for the extension pass."""
+    B, L = x.shape
+    k = jnp.arange(L, dtype=jnp.int32)[None, :]
+    idx = end[:, None].astype(jnp.int32) - 1 - k
+    vals = jnp.take_along_axis(x.astype(jnp.int32), jnp.clip(idx, 0, L - 1), axis=1)
+    return jnp.where(idx >= 0, vals, sent)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "mode",
+        "gap_open",
+        "gap_extend",
+        "band",
+        "affine",
+        "want_tb",
+    ),
+)
+def wavefront_bucket(
+    q: jax.Array,  # (B, Lq) int32 codes, padded with any valid code
+    t: jax.Array,  # (B, Lt) int32 codes
+    qlen: jax.Array,  # (B,) int32 true lengths
+    tlen: jax.Array,  # (B,) int32
+    table: jax.Array,  # (A1, A1) int32 substitution, sentinel row/col = last
+    *,
+    mode: str,
+    gap_open: int,
+    gap_extend: int,
+    band: Optional[int],
+    affine: bool,
+    want_tb: bool,
+):
+    """Run the wavefront DP over one padded bucket; returns result arrays.
+
+    Returns dict with:
+      score (B,) i32; qs/qe/ts/te (B,) i32;
+      ops_rev (B, Lq+Lt) u8 traceback ops in end->start order, OP_PAD padded
+      (only when want_tb).
+
+    Local mode composes three fills (end, reverse-extension start, window
+    CIGAR) entirely inside jit with static shapes, so the whole contract —
+    including the mesh-sharded path — stays a single pure SPMD program.
+    """
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    n, m = Lq, Lt
+    A1 = table.shape[0]
+    SENT = A1 - 1
+    kw = dict(gap_open=gap_open, gap_extend=gap_extend, affine=affine)
+
+    if mode == "global":
+        res = _scan_fill(
+            q, t, qlen, tlen, table, kind="global", band=band, want_tb=want_tb, **kw
+        )
+        score = res["score"]
+        out = {
+            "score": score,
+            "qs": jnp.zeros_like(score),
+            "qe": qlen.astype(jnp.int32),
+            "ts": jnp.zeros_like(score),
+            "te": tlen.astype(jnp.int32),
+        }
+        if want_tb:
+            fi, fj, ops_rev = _global_walk(
+                res["P"],
+                qlen.astype(jnp.int32),
+                tlen.astype(jnp.int32),
+                jnp.zeros((B,), bool),
+                affine=affine,
+                B=B,
+                N1=n + 1,
+                steps=n + m,
+            )
+            out["ops_rev"] = ops_rev.T  # (B, n+m), end->start order
+        return out
+
+    if mode != "local":
+        raise ValueError(f"unknown mode {mode!r}")
+    if band is not None:
+        raise ValueError("banded local alignment is out of contract")
+
+    # ---- pass 1: local fill, canonical end --------------------------------
+    p1 = _scan_fill(
+        q, t, qlen, tlen, table, kind="local", band=None, want_tb=False, **kw
+    )
+    score, qe, te = p1["score"], p1["bi"], p1["bj"]
+
+    # ---- pass 2: anchored reverse extension, canonical start --------------
+    qr = _gather_reversed(q, qe, SENT)
+    tr = _gather_reversed(t, te, SENT)
+    p2 = _scan_fill(
+        qr, tr, qe, te, table, kind="extension", band=None, want_tb=False, **kw
+    )
+    # the extension max equals the local score by construction; its first-max
+    # cell (ri, rj) maps to the canonical start (qe - ri, te - rj).
+    qs = qe - p2["bi"]
+    ts = te - p2["bj"]
+    empty = score <= 0
+    qs = jnp.where(empty, 0, qs)
+    ts = jnp.where(empty, 0, ts)
+
+    out = {"score": score, "qs": qs, "qe": qe, "ts": ts, "te": te}
+    if not want_tb:
+        return out
+
+    # ---- pass 3: canonical CIGAR = global walk of the window --------------
+    qw = _gather_window(q, qs, qe - qs, SENT)
+    tw = _gather_window(t, ts, te - ts, SENT)
+    p3 = _scan_fill(
+        qw, tw, qe - qs, te - ts, table, kind="global", band=None, want_tb=True, **kw
+    )
+    _, _, ops_rev = _global_walk(
+        p3["P"],
+        (qe - qs).astype(jnp.int32),
+        (te - ts).astype(jnp.int32),
+        empty,
+        affine=affine,
+        B=B,
+        N1=n + 1,
+        steps=n + m,
+    )
+    out["ops_rev"] = ops_rev.T
     return out

@@ -8,9 +8,23 @@ The recurrences and canonical tie-breaks are specified in SURVEY.md §2.2:
     CIGAR I; LEFT consumes target -> CIGAR D);
   * affine: H-choice DIAG > F(up) > E(left); E/F prefer EXTEND over OPEN
     on ties;
-  * local (SW): a cell whose best candidate is <= 0 scores 0 and STOPs
-    traceback; the end coordinate is the argmax cell with smallest i, then
-    smallest j, among ties;
+  * local (SW): a cell whose best candidate is <= 0 scores 0; the end
+    coordinate is the argmax cell with smallest i, then smallest j, among
+    ties;
+  * local START coordinate (canonical, two-pass definition): among all
+    optimal alignments ending at the canonical end (qe, te), the start is
+    the one found by the *anchored reverse extension* problem — align
+    reverse(q[:qe]) vs reverse(t[:te]) with the GLOBAL recurrence (gap
+    boundaries, no zero clamp, alignment anchored at the reversed origin
+    = the original end cell) and take the first score-max cell in scan
+    order (smallest i', then smallest j').  Equivalently: the start
+    maximizing qs, then ts.  This definition is computable by a second
+    forward fill with no per-cell lineage state, which is what makes the
+    accelerated coords path ~2x faster than in-fill start tracking
+    (VERDICT.md round-1 item 1);
+  * local CIGAR (canonical): the DIAG > UP > LEFT / extend >= open global
+    traceback of the window q[qs:qe] x t[ts:te] (whose optimal global
+    score provably equals the local score);
   * banded global: cells with (j - i) outside [min(0, m-n) - w,
     max(0, m-n) + w] are -inf.
 
@@ -106,50 +120,73 @@ def _walk_linear(P: np.ndarray, i: int, j: int) -> List[int]:
 # ---------------------------------------------------------------------------
 
 
+def _ext_linear_fill(q: np.ndarray, t: np.ndarray, sp: ScoringParams) -> np.ndarray:
+    """Anchored extension fill, linear gap: the NW recurrence (gap
+    boundaries, no zero clamp) whose cell (i, j) holds the best score of an
+    alignment consuming q[:i] and t[:j] ENTIRELY (anchored at the origin)."""
+    n, m = len(q), len(t)
+    g = sp.gap_extend
+    s = _subst_lookup(sp)
+    H = np.full((n + 1, m + 1), NEG_INF, dtype=np.int64)
+    H[0, 0] = 0
+    for i in range(1, n + 1):
+        H[i, 0] = i * g
+    for j in range(1, m + 1):
+        H[0, j] = j * g
+    for i in range(1, n + 1):
+        qi = int(q[i - 1])
+        for j in range(1, m + 1):
+            H[i, j] = max(
+                H[i - 1, j - 1] + s(qi, int(t[j - 1])),
+                H[i - 1, j] + g,
+                H[i, j - 1] + g,
+            )
+    return H
+
+
+def _argmax_first(H: np.ndarray) -> Tuple[int, int, int]:
+    """(value, i, j) of the first maximum in row-major scan order —
+    the canonical smallest-i, then smallest-j tie-break."""
+    flat = int(np.argmax(H))
+    i, j = divmod(flat, H.shape[1])
+    return int(H[i, j]), i, j
+
+
 def sw_linear(q: np.ndarray, t: np.ndarray, sp: ScoringParams) -> AlignResult:
-    """Local alignment, linear gap; score, coords, CIGAR."""
+    """Local alignment, linear gap; score, coords, CIGAR (two-pass canon)."""
     assert not sp.is_affine, "sw_linear requires gap_open == 0"
     n, m = len(q), len(t)
     g = sp.gap_extend
     s = _subst_lookup(sp)
 
     H = np.zeros((n + 1, m + 1), dtype=np.int64)
-    P = np.zeros((n + 1, m + 1), dtype=np.uint8)
     best, bi, bj = 0, 0, 0
     for i in range(1, n + 1):
         qi = int(q[i - 1])
         for j in range(1, m + 1):
-            d = H[i - 1, j - 1] + s(qi, int(t[j - 1]))
-            u = H[i - 1, j] + g
-            l = H[i, j - 1] + g
-            cand = max(d, u, l)
+            cand = max(
+                H[i - 1, j - 1] + s(qi, int(t[j - 1])),
+                H[i - 1, j] + g,
+                H[i, j - 1] + g,
+            )
             if cand <= 0:
-                # H stays 0, P stays STOP
-                continue
+                continue  # H stays 0
             H[i, j] = cand
-            P[i, j] = PTR_DIAG if d == cand else (PTR_UP if u == cand else PTR_LEFT)
             if cand > best:
                 best, bi, bj = cand, i, j
             # ties: keep smallest i, then smallest j -- scan order guarantees it
 
     if best == 0:
         return AlignResult(0, 0, 0, 0, 0, "")
-    ops: List[int] = []
-    i, j = bi, bj
-    while P[i, j] != PTR_STOP:
-        p = P[i, j]
-        if p == PTR_DIAG:
-            ops.append(OP_M)
-            i -= 1
-            j -= 1
-        elif p == PTR_UP:
-            ops.append(OP_I)
-            i -= 1
-        else:
-            ops.append(OP_D)
-            j -= 1
-    ops.reverse()
-    return AlignResult(int(best), i, bi, j, bj, ops_to_cigar(ops))
+    # pass 2: canonical start via anchored reverse extension (module docstring)
+    Hr = _ext_linear_fill(q[:bi][::-1], t[:bj][::-1], sp)
+    rbest, ri, rj = _argmax_first(Hr)
+    assert rbest == best, "reverse extension must reproduce the local score"
+    si, sj = bi - ri, bj - rj
+    # pass 3: canonical CIGAR = global walk of the window
+    win = nw_linear(q[si:bi], t[sj:bj], sp)
+    assert win.score == best, "window-global score must equal the local score"
+    return AlignResult(int(best), si, bi, sj, bj, win.cigar)
 
 
 # ---------------------------------------------------------------------------
@@ -283,17 +320,23 @@ def nw_affine(
 
 
 def sw_affine(q: np.ndarray, t: np.ndarray, sp: ScoringParams) -> AlignResult:
-    """Local affine-gap (Gotoh) alignment: score, coords, CIGAR (config 3)."""
-    n, m = len(q), len(t)
-    H, PH, EXT_E, EXT_F = _gotoh_fill(q, t, sp, local=True)
+    """Local affine-gap (Gotoh) alignment: score, coords, CIGAR (config 3,
+    two-pass canonical coords — see module docstring)."""
+    H, _, _, _ = _gotoh_fill(q, t, sp, local=True)
     # argmax with canonical tie-break: smallest i, then smallest j.
-    flat = int(np.argmax(H))
-    bi, bj = divmod(flat, m + 1)
-    best = int(H[bi, bj])
+    best, bi, bj = _argmax_first(H)
     if best <= 0:
         return AlignResult(0, 0, 0, 0, 0, "")
-    ops, si, sj = _walk_affine(PH, EXT_E, EXT_F, bi, bj)
-    return AlignResult(best, si, bi, sj, bj, ops_to_cigar(ops))
+    # pass 2: canonical start via anchored reverse extension.  The anchored
+    # fill is exactly the global Gotoh fill (gap boundaries, no clamp).
+    Hr, _, _, _ = _gotoh_fill(q[:bi][::-1], t[:bj][::-1], sp, local=False)
+    rbest, ri, rj = _argmax_first(Hr)
+    assert rbest == best, "reverse extension must reproduce the local score"
+    si, sj = bi - ri, bj - rj
+    # pass 3: canonical CIGAR = global walk of the window
+    win = nw_affine(q[si:bi], t[sj:bj], sp)
+    assert win.score == best, "window-global score must equal the local score"
+    return AlignResult(best, si, bi, sj, bj, win.cigar)
 
 
 # ---------------------------------------------------------------------------
