@@ -17,6 +17,7 @@ sync, and take the marginal time per launch between two chain lengths:
 (t(X2) - t(X1)) / (X2 - X1).
 """
 
+import functools
 import json
 import os
 import time
@@ -31,7 +32,13 @@ def main():
     import jax.numpy as jnp
 
     from seqalib_tpu import ScoringParams
-    from seqalib_tpu.ops.strip_pallas import LANES, TI, _ceil_to, _strip_fill
+    from seqalib_tpu.ops.strip_pallas import (
+        LANES,
+        TI,
+        _ceil_to,
+        _strip_fill,
+        _strip_local_fused,
+    )
     from seqalib_tpu.parallel.dispatch import sentinel_table
 
     B = int(os.environ.get("BENCH_B", "64"))
@@ -42,6 +49,8 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "5"))
     X1 = int(os.environ.get("BENCH_X1", "2"))
     X2 = int(os.environ.get("BENCH_X2", "8"))
+    # start+end (default): the fused two-pass coords pipeline (end-only
+    # fill + reverse-extension rescan).  end: the bare end-only fill.
     want_starts = os.environ.get("BENCH_STARTS", "1") == "1"
 
     sp = ScoringParams.blosum62()
@@ -74,18 +83,29 @@ def main():
         profile=True,
         packed=bool(table_h.min() >= -4 and table_h.max() <= 11),
         A1=A1,
-        want_starts=want_starts,
+        dt16=False,
         interpret=jax.devices()[0].platform != "tpu",
     )
+
+    if want_starts:
+        fill = functools.partial(_strip_local_fused, **kw)
+        acc_of = lambda out: out["score"].sum() + out["qs"].sum() + out["ts"].sum()
+        # parity gate on the timed kernel: the fused pass-2 window must
+        # hold (escalation would fall to the slower host path and the
+        # measured number would not be the shipped number)
+        chk = jax.jit(fill)(*args)
+        n_esc = int((np.asarray(chk["score2"]) != np.asarray(chk["score"])).sum())
+        assert n_esc == 0, f"{n_esc} pairs escalated past the fused window"
+    else:
+        fill = functools.partial(_strip_fill, **kw)
+        acc_of = lambda out: out["bv"].sum()
 
     def chain(X):
         @jax.jit
         def many(q0):
             acc = jnp.int32(0)
             for i in range(X):
-                acc = acc + _strip_fill(jnp.roll(q0, i, axis=0), *args[1:], **kw)[
-                    "bv"
-                ].sum()
+                acc = acc + acc_of(fill(jnp.roll(q0, i, axis=0), *args[1:]))
             return acc
 
         return many
@@ -107,7 +127,7 @@ def main():
             {
                 "metric": f"GCUPS/chip sw-affine-blosum62-{L}x{L} B={B} "
                 f"BSUB={kw['BSUB']} "  # effective (clamped to B) kernel batch
-                f"coords={'start+end' if want_starts else 'end'} "
+                f"coords={'start+end(2pass)' if want_starts else 'end'} "
                 f"({jax.devices()[0].platform})",
                 "value": round(gcups, 3),
                 "unit": "GCUPS",

@@ -114,6 +114,8 @@ def align_all_vs_all(
     score, qs, qe, ts, te.  Tracebacks are deliberately excluded at this
     scale; realign the hits you care about with `align`.
     """
+    import itertools
+
     import numpy as np
 
     sp = scoring if scoring is not None else ScoringParams.linear()
@@ -123,9 +125,14 @@ def align_all_vs_all(
     fields = ("score", "qs", "qe", "ts", "te")
     out = {f: np.zeros((nq, nr), np.int32) for f in fields}
 
-    flat = [(i, j) for i in range(nq) for j in range(nr)]
-    for lo in range(0, len(flat), chunk_pairs):
-        chunk = flat[lo : lo + chunk_pairs]
+    # the (i, j) product is streamed lazily: at config-5 scale (10k x 1k =
+    # 10M pairs) materializing the index list up front stalls in pure
+    # Python before any kernel runs (VERDICT.md round-1 item 6)
+    it = itertools.product(range(nq), range(nr))
+    while True:
+        chunk = list(itertools.islice(it, chunk_pairs))
+        if not chunk:
+            break
         res = align_batch(
             [qs[i] for i, _ in chunk],
             [rs[j] for _, j in chunk],

@@ -69,30 +69,24 @@ def _synth(rng, n_pairs, lq, lt, alpha):
     return qs, ts
 
 
-def cmd_bench(args) -> int:
-    """Benchmark configs (BASELINE.json:7-11).  End-to-end through the
-    public align_batch path: includes dispatch, padding, and host decode
-    (kernel-only GCUPS comes from bench.py at the repo root)."""
+def _bench_setup(args, cfg, rng):
+    """Build one config's inputs + runner.  Returns (sp, qs, ts, run, mode,
+    band, traceback)."""
     from .api import align_batch
     from .types import ScoringParams
 
-    rng = np.random.default_rng(args.seed)
-    cfg = args.config
-    t_start = time.perf_counter()
     if cfg == 1:  # NW global linear, 256bp DNA, full traceback
         sp = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
         qs, ts = _synth(rng, args.pairs, 256, 256, 4)
-        res = align_batch(qs, ts, scoring=sp, mode="global", backend=args.backend)
+        mode, band, tb, mesh = "global", None, True, None
     elif cfg == 2:  # SW local linear, 1kb DNA, score + coords
         sp = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
         qs, ts = _synth(rng, args.pairs, 1024, 1024, 4)
-        res = align_batch(
-            qs, ts, scoring=sp, mode="local", backend=args.backend, traceback=False
-        )
+        mode, band, tb, mesh = "local", None, False, None
     elif cfg == 3:  # Gotoh affine SW, BLOSUM62 protein, traceback
         sp = ScoringParams.blosum62()
         qs, ts = _synth(rng, args.pairs, 1024, 1024, 20)
-        res = align_batch(qs, ts, scoring=sp, mode="local", backend=args.backend)
+        mode, band, tb, mesh = "local", None, True, None
     elif cfg == 4:  # banded affine NW long reads
         sp = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
         L = args.long_len
@@ -104,9 +98,7 @@ def cmd_bench(args) -> int:
             t[idx] = (t[idx] + 1 + rng.integers(0, 3, len(idx))) % 4
             qs.append(q)
             ts.append(t.astype(np.uint8))
-        res = align_batch(
-            qs, ts, scoring=sp, mode="global", band=args.band, backend=args.backend
-        )
+        mode, band, tb, mesh = "global", args.band, True, None
     elif cfg == 5:  # batched all-vs-all SW, sharded over the mesh
         from .parallel.dist import make_pair_mesh
 
@@ -115,22 +107,76 @@ def cmd_bench(args) -> int:
         refs, _ = _synth(rng, args.refs, 1024, 1024, 4)
         qs = [reads[i % len(reads)] for i in range(args.pairs)]
         ts = [refs[i % len(refs)] for i in range(args.pairs)]
-        res = align_batch(
+        mode, band, tb, mesh = "local", None, False, make_pair_mesh()
+    else:
+        raise ValueError(f"unknown config {cfg}")
+
+    def run():
+        return align_batch(
             qs,
             ts,
             scoring=sp,
-            mode="local",
-            backend="xla",
-            traceback=False,
-            mesh=make_pair_mesh(),
+            mode=mode,
+            band=band,
+            backend=args.backend,
+            traceback=tb,
+            mesh=mesh,
         )
-    else:
-        print(f"unknown config {cfg}", file=sys.stderr)
-        return 2
+
+    return sp, qs, ts, run, mode, band, tb
+
+
+def _bench_parity(res, qs, ts, sp, mode, band, tb, n_check):
+    """Full-contract parity gate: score + coords (+ CIGAR when traceback)
+    over n_check pairs (SURVEY.md §4.5; VERDICT.md round-1 item 4 — three
+    score-only pairs are not a gate)."""
+    from .oracle import align_oracle
+
+    # banded long-read pairs are too large for the O(n*m)-loop oracle;
+    # gate parity on same-path pairs truncated to oracle-feasible lengths
+    if band is not None and len(qs[0]) > 2048:
+        from .api import align_batch
+
+        qs = [q[:1024] for q in qs[:n_check]]
+        ts = [t[: 1024 + band // 2] for t in ts[:n_check]]
+        res = align_batch(
+            qs, ts, scoring=sp, mode=mode, band=band, backend="pallas"
+        )
+    bad = 0
+    for b in range(min(n_check, len(qs))):
+        ref = align_oracle(qs[b], ts[b], sp, mode=mode, band=band)
+        got = res[b]
+        same = (
+            got.score == ref.score
+            and got.query_start == ref.query_start
+            and got.query_end == ref.query_end
+            and got.target_start == ref.target_start
+            and got.target_end == ref.target_end
+        )
+        if tb:
+            same = same and got.cigar == ref.cigar
+        bad += 0 if same else 1
+    return bad
+
+
+def _bench_one(args, cfg) -> dict:
+    rng = np.random.default_rng(args.seed)
+    sp, qs, ts, run, mode, band, tb = _bench_setup(args, cfg, rng)
+    run()  # warmup: compile + caches
+    ctx = None
+    if args.trace:
+        import jax
+
+        ctx = jax.profiler.trace(args.trace)
+        ctx.__enter__()
+    t_start = time.perf_counter()
+    res = run()
     dt = time.perf_counter() - t_start
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
 
     if cfg == 4:
-        cells = sum(len(q) * 2 * args.band for q in qs)
+        cells = sum(len(q) * 2 * band for q in qs)
     else:
         cells = sum(len(q) * len(t) for q, t in zip(qs, ts))
     out = {
@@ -143,21 +189,28 @@ def cmd_bench(args) -> int:
         "example": str(res[0]),
     }
     if args.parity_check:
-        from .oracle import align_oracle
-        from .types import PROTEIN_SIZE
+        bad = _bench_parity(res, qs, ts, sp, mode, band, tb, args.parity_pairs)
+        out["parity_pairs"] = min(args.parity_pairs, len(qs))
+        out["parity_ok"] = bad == 0
+        if bad:
+            out["parity_failures"] = bad
+    return out
 
-        n_check = min(3, len(qs))
-        ok = True
-        for b in range(n_check):
-            mode = "global" if cfg in (1, 4) else "local"
-            band = args.band if cfg == 4 else None
-            ref = align_oracle(qs[b], ts[b], sp, mode=mode, band=band)
-            got = res[b]
-            same_score = ref.score == got.score
-            ok = ok and same_score
-        out["parity_ok"] = bool(ok)
-    print(json.dumps(out))
-    return 0
+
+def cmd_bench(args) -> int:
+    """Benchmark configs (BASELINE.json:7-11).  End-to-end through the
+    public align_batch path: includes dispatch, padding, and host decode
+    (kernel-only GCUPS comes from bench.py at the repo root).  `bench all`
+    runs configs 1-5 and is the contract gate (SURVEY.md §4.5): one JSON
+    line per config with {config, GCUPS, pairs_per_sec, parity_ok}."""
+    cfgs = [1, 2, 3, 4, 5] if args.config == "all" else [int(args.config)]
+    rc = 0
+    for cfg in cfgs:
+        out = _bench_one(args, cfg)
+        if args.parity_check and not out.get("parity_ok", True):
+            rc = 1
+        print(json.dumps(out), flush=True)
+    return rc
 
 
 def main(argv=None) -> int:
@@ -178,7 +231,7 @@ def main(argv=None) -> int:
     pa.set_defaults(fn=cmd_align)
 
     pb = sub.add_parser("bench", help="run a BASELINE benchmark config")
-    pb.add_argument("config", type=int, choices=[1, 2, 3, 4, 5])
+    pb.add_argument("config", choices=["1", "2", "3", "4", "5", "all"])
     pb.add_argument("--pairs", type=int, default=64)
     pb.add_argument("--reads", type=int, default=64)
     pb.add_argument("--refs", type=int, default=8)
@@ -187,6 +240,18 @@ def main(argv=None) -> int:
     pb.add_argument("--backend", default="pallas")
     pb.add_argument("--seed", type=int, default=0)
     pb.add_argument("--parity-check", action="store_true")
+    pb.add_argument(
+        "--parity-pairs",
+        type=int,
+        default=32,
+        help="pairs gated on full score+coords+CIGAR parity vs the oracle",
+    )
+    pb.add_argument(
+        "--trace",
+        default=None,
+        metavar="DIR",
+        help="wrap the timed run in jax.profiler.trace(DIR) (XProf/Perfetto)",
+    )
     pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)

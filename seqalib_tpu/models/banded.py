@@ -19,11 +19,14 @@ per-pair lengths may differ inside the bucket.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("seqalib_tpu.banded")
 
 from ..ops.banded_pallas import (
     LANES,
@@ -50,14 +53,11 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _geometry(n: int, m: int, band: int):
-    delta = m - n
-    dlo = min(0, delta) - band
-    dhi = max(0, delta) + band
+def _geometry(dlo: int, dhi: int, n: int, m: int):
     D = dhi - dlo + 1
     Wp = _ceil_to(D // 2 + 2, LANES)
     K = n + m + 1
-    return dlo, dhi, Wp, K
+    return Wp, K
 
 
 def _pad_letters(seqs: np.ndarray, width: int, sentinel: int, lens: np.ndarray):
@@ -83,7 +83,11 @@ def banded_align_batch(
     """Banded affine-gap global alignment of a same-delta bucket.
 
     qs/ts: (B, L*) int letter codes (scalar match/mismatch scoring only —
-    the long-read domain).  All pairs must satisfy tlen - qlen == const.
+    the long-read domain).  Deltas (tlen - qlen) may differ per pair: the
+    oracle's band semantics are enforced per pair by in-kernel bound
+    vectors, while the SLOT geometry (dlo, dhi, Wp) covers the bucket's
+    delta spread — one kernel compile per geometry bucket instead of one
+    per distinct delta (VERDICT.md round-1 item 3).
     """
     if sp.matrix is not None:
         raise NotImplementedError(
@@ -96,18 +100,15 @@ def banded_align_batch(
     qlen = np.asarray(qlen, np.int64)
     tlen = np.asarray(tlen, np.int64)
     deltas = tlen - qlen
-    if not (deltas == deltas[0]).all():
-        raise ValueError("banded bucket requires uniform tlen - qlen")
     B = qs.shape[0]
     n = int(qlen.max())
     m = int(tlen.max())
-    if not (qlen == n).all() or not (tlen == m).all():
-        # per-pair lengths may differ only via the masks; geometry needs the
-        # endpoint diagonal in band, guaranteed by uniform delta.
-        pass
-    dlo, dhi, Wp, K = _geometry(n, m, band)
-    if not (dlo <= m - n <= dhi):
-        raise ValueError("band does not contain the endpoint")
+    # per-pair oracle band bounds; bucket slot geometry covers them all
+    dlo_p = (np.minimum(0, deltas) - band).astype(np.int64)
+    dhi_p = (np.maximum(0, deltas) + band).astype(np.int64)
+    dlo = int(dlo_p.min())
+    dhi = int(dhi_p.max())
+    Wp, K = _geometry(dlo, dhi, n, m)
     CK = _ceil_to(CK, 4)
 
     Kp = _ceil_to(K, CK)  # the grid may run past K; widths must cover it
@@ -124,6 +125,13 @@ def banded_align_batch(
     per_pair = (qwidth + twidth + 10 * Wp) * 4
     max_b = max(1, vmem_cap // per_pair)
     if B > max_b:
+        log.info(
+            "banded VMEM guard: chunking %d pairs into <=%d-pair calls "
+            "(%.2f MB resident/pair)",
+            B,
+            max_b,
+            per_pair / 1e6,
+        )
         out: List[AlignResult] = []
         for lo in range(0, B, max_b):
             out.extend(
@@ -143,6 +151,8 @@ def banded_align_batch(
     tk = jnp.asarray(_pad_letters(ts, twidth, 5, tlen))
     qlen_j = jnp.asarray(qlen, jnp.int32)
     tlen_j = jnp.asarray(tlen, jnp.int32)
+    dlo_j = jnp.asarray(dlo_p, jnp.int32)
+    dhi_j = jnp.asarray(dhi_p, jnp.int32)
 
     state0 = jnp.asarray(init_band_state(np.asarray(qk), B, Wp))
     score0 = jnp.full((B, Wp), NEG_INF, jnp.int32)
@@ -166,6 +176,8 @@ def banded_align_batch(
         tk,
         qlen_j,
         tlen_j,
+        dlo_j,
+        dhi_j,
         state0,
         score0,
         k_start=0,
@@ -206,6 +218,8 @@ def banded_align_batch(
             tk,
             qlen_j,
             tlen_j,
+            dlo_j,
+            dhi_j,
             jnp.asarray(ckpts_h[ci]),
             score0,
             k_start=k0,

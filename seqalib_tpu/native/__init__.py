@@ -11,12 +11,15 @@ vectorized NumPy implementations (wavefront_pallas._host_traceback_*).
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 import tempfile
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+log = logging.getLogger("seqalib_tpu.native")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "walker.cpp")
@@ -55,7 +58,9 @@ def _build() -> Optional[str]:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except Exception:
+    except Exception as exc:
+        # not silent: callers fall back to the ~10x slower NumPy walkers
+        log.warning("native walker build failed (%s); using NumPy fallback", exc)
         return None
     return lib_path
 
@@ -72,7 +77,8 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(path)
-    except OSError:
+    except OSError as exc:
+        log.warning("native walker load failed (%s); using NumPy fallback", exc)
         return None
     walk_sig = [
         _I8P,  # P

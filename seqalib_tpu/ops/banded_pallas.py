@@ -55,6 +55,8 @@ def _band_kernel(
     tk_ref,  # (B, Ltp) i32: tk[:, x] = t[x-1] (sentinel outside)
     qlenc_ref,  # (B, 128) i32
     tlenc_ref,  # (B, 128) i32
+    dloc_ref,  # (B, 128) i32 per-pair band lower bound on j - i
+    dhic_ref,  # (B, 128) i32 per-pair band upper bound
     state_in_ref,  # (N_STATE, B, Wp) i32 resume state
     score_ref,  # (B, Wp) i32 masked final-score capture (accumulating)
     state_out_ref,  # (N_STATE, B, Wp) i32 state after the last diagonal
@@ -84,6 +86,12 @@ def _band_kernel(
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
     qlenv = qlenc_ref[:, 0:1]
     tlenv = tlenc_ref[:, 0:1]
+    # per-pair band bounds: the static dlo/dhi define the SLOT GEOMETRY
+    # (ihat, rolls) of the whole bucket; the oracle's band semantics are
+    # enforced per pair by these vectors, so one compile serves every
+    # delta the bucket geometry covers (VERDICT.md round-1 item 3)
+    dlov = dloc_ref[:, 0:1]
+    dhiv = dhic_ref[:, 0:1]
 
     @pl.when(g == 0)
     def _init():
@@ -154,8 +162,8 @@ def _band_kernel(
         # out-of-band / out-of-matrix cells are exactly NEG (oracle parity)
         dkj = jvec - ivec
         ok = (
-            (dkj >= dlo)
-            & (dkj <= dhi)
+            (dkj >= dlov)
+            & (dkj <= dhiv)
             & (ivec >= 0)
             & (ivec <= qlenv)
             & (jvec >= 0)
@@ -233,6 +241,8 @@ def band_fill_range(
     tk,
     qlen,
     tlen,
+    dlo_p,
+    dhi_p,
     state_in,
     score_in,
     *,
@@ -267,6 +277,8 @@ def band_fill_range(
 
     qlenc = jnp.broadcast_to(qlen[:, None].astype(jnp.int32), (B, LANES))
     tlenc = jnp.broadcast_to(tlen[:, None].astype(jnp.int32), (B, LANES))
+    dloc = jnp.broadcast_to(dlo_p[:, None].astype(jnp.int32), (B, LANES))
+    dhic = jnp.broadcast_to(dhi_p[:, None].astype(jnp.int32), (B, LANES))
 
     kernel = functools.partial(
         _band_kernel,
@@ -317,6 +329,8 @@ def band_fill_range(
             cspec(tk.shape),
             cspec((B, LANES)),
             cspec((B, LANES)),
+            cspec((B, LANES)),
+            cspec((B, LANES)),
             cspec((N_STATE, B, Wp)),
         ],
         out_shape=out_shapes,
@@ -324,6 +338,6 @@ def band_fill_range(
         scratch_shapes=[pltpu.VMEM((B, Wp), jnp.int32) for _ in range(N_STATE)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-    )(qk, tk, qlenc, tlenc, state_in)
+    )(qk, tk, qlenc, tlenc, dloc, dhic, state_in)
     score = jnp.maximum(score, score_in)
     return score, state_out, ckpts, ptrs

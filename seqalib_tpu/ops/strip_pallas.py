@@ -45,13 +45,22 @@ profile rows.
 
 Scope: every unbanded path — local (SW) and global (NW), linear and
 affine gap, score/coords and full traceback (BASELINE.json configs 1-3).
-Traceback mode streams packed pointer blocks to HBM (the 128-step window
-rides a third grid dimension; per-strip carries persist in VMEM scratch)
-and the host walker recovers starts + CIGARs, so the fill carries no
-start-tracking state.  Global mode swaps the local zero-clamp for
-boundary gap values and captures H(qlen, tlen); the walkers synthesize
-the unstored row-0/column-0 boundary.  Banded long reads live in
-`banded_pallas`; `wavefront_pallas` keeps the banded full-matrix
+
+Local coords follow the TWO-PASS canonical scheme (oracle.py docstring):
+pass 1 is the end-only fill (NO per-cell start-lineage state — round 1
+carried a mirrored select cascade per DP array for in-fill start
+tracking, a structural ~2x op-count tax, VERDICT.md item 1); pass 2
+(emode: global-recurrence boundaries, no zero clamp, argmax tracking)
+recovers the canonical start from the reversed prefixes, row-windowed
+with escalation (_reverse_starts).  Local traceback adds pass 3: global
+fill + walk over the [qs:qe] x [ts:te] windows only.
+
+Global mode swaps the local zero-clamp for boundary gap values and
+captures H(qlen, tlen); traceback mode streams packed pointer blocks to
+HBM (the 128-step window rides a third grid dimension; per-strip carries
+persist in VMEM scratch) and the host walker recovers CIGARs,
+synthesizing the unstored row-0/column-0 boundary.  Banded long reads
+live in `banded_pallas`; `wavefront_pallas` keeps the banded full-matrix
 fallbacks.
 
 Tie-break parity with the oracle (oracle.sw_linear / sw_affine):
@@ -59,13 +68,15 @@ Tie-break parity with the oracle (oracle.sw_linear / sw_affine):
   * per-lane best keeps the FIRST maximum in (i, j) scan order (strict >),
     and the host reduces score = max(BV), packed = min(BK | BV == score),
     which is exactly the canonical smallest-i-then-smallest-j rule since
-    packed = i*(m+1)+j.
+    packed = i*(m+1)+j — applied to the reversed problem in pass 2 this
+    yields the canonical (max qs, then max ts) start.
 """
 
 from __future__ import annotations
 
 import functools
 import itertools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +87,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..types import NEG_INF, PTR_DIAG, PTR_LEFT, PTR_STOP, PTR_UP
 
 import os as _os
+
+log = logging.getLogger("seqalib_tpu.strip")
 
 LANES = 128
 SUBLANES = 8
@@ -90,30 +103,22 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _state_names(affine: bool, want_starts: bool, gmode: bool = False):
-    """Persistent (across blocks) SSA carry set.  DF/SDF are the diag
-    feeders (previous step's up feeder).  Global mode captures the final
-    cell into SC instead of tracking a local argmax."""
+def _state_names(affine: bool, gmode: bool = False):
+    """Persistent (across blocks) SSA carry set.  DF is the diag feeder
+    (previous step's up feeder).  Global mode captures the final cell into
+    SC instead of tracking an argmax."""
     names = ["H1", "H2", "E1", "F1", "W", "BV", "BK", "CH", "CF", "DF"]
     if gmode:
         names = [n for n in names if n not in ("BV", "BK")] + ["SC"]
     if not affine:
         names = [n for n in names if n not in ("E1", "F1", "CF")]
-    if want_starts:
-        names += ["SH1", "SH2", "SE1", "SF1", "CSH", "CSF", "SDF", "BS"]
-        if not affine:
-            names = [n for n in names if n not in ("SE1", "SF1", "CSF")]
     return names
 
 
-def _feeder_names(affine: bool, want_starts: bool):
+def _feeder_names(affine: bool):
     names = ["TF", "HF"]
     if affine:
         names.append("FF")
-    if want_starts:
-        names.append("SHF")
-        if want_starts and affine:
-            names.append("SFF")
     return names
 
 
@@ -131,9 +136,9 @@ def _strip_kernel(
     profile: bool,
     packed: bool,
     A1: int,
-    want_starts: bool,
     want_ptr: bool = False,
     gmode: bool = False,
+    emode: bool = False,
     dt16: bool = False,
 ):
     it = iter(refs)
@@ -144,16 +149,17 @@ def _strip_kernel(
     prof_ref = next(it) if profile else None  # (8, 4, TI) packed | (8, 32, TI)
     bv_ref = next(it)
     bk_ref = next(it)
-    bs_ref = next(it) if want_starts else None
     ptr_ref = next(it) if want_ptr else None  # (1,1,LANES,BSUB,TI) i8 block
     hbot = next(it)  # (8, W2) scratch: bottom-row H by column position
     fbot = next(it) if affine else None
-    shbot = next(it) if want_starts else None
-    sfbot = next(it) if (want_starts and affine) else None
     bv_scr = next(it)
     bk_scr = next(it)
-    bs_scr = next(it) if want_starts else None
     state_scr = list(it)  # want_ptr mode: per-strip carry persistence
+
+    # emode = anchored extension (pass 2 of the two-pass local coords
+    # scheme, oracle.py docstring): global-recurrence boundaries and no
+    # zero clamp (like gmode) but argmax tracking (like local).
+    noclamp = gmode or emode
 
     s = pl.program_id(1)
     bgrid = pl.program_id(2) if want_ptr else None
@@ -176,14 +182,14 @@ def _strip_kernel(
     gapvec = (
         (DT(gap_open) if affine else DT(0)) + ivec.astype(DT) * ee
     )
-    names = _state_names(affine, want_starts, gmode)
-    fnames = _feeder_names(affine, want_starts)
+    names = _state_names(affine, gmode)
+    fnames = _feeder_names(affine)
 
     @pl.when(s0_cond)
     def _reset():
-        # DP row 0: local H = 0 (STOP cells, start pack = j); global
+        # DP row 0: local H = 0 (STOP cells); global/extension
         # H(0, j) = [o +] j*e with H(0,0) = 0.  F row 0 = -inf either way.
-        if gmode:
+        if noclamp:
             xcol = jax.lax.broadcasted_iota(jnp.int32, hbot.shape, 1).astype(DT)
             row0 = (DT(gap_open) if affine else DT(0)) + xcol * ee
             hbot[:] = jnp.where(xcol == 0, DT(0), row0)
@@ -191,14 +197,8 @@ def _strip_kernel(
             hbot[:] = jnp.zeros_like(hbot)
         if affine:
             fbot[:] = jnp.full_like(fbot, NEG)
-        if want_starts:
-            shbot[:] = jax.lax.broadcasted_iota(jnp.int32, shbot.shape, 1)
-            if affine:
-                sfbot[:] = jnp.zeros_like(sfbot)
         bv_scr[:] = jnp.zeros_like(bv_scr)
         bk_scr[:] = jnp.zeros_like(bk_scr)
-        if want_starts:
-            bs_scr[:] = jnp.zeros_like(bs_scr)
 
     if profile:
         if packed:
@@ -269,12 +269,12 @@ def _strip_kernel(
             up_v = H1u + ee
             left_v = st["H1"] + ee
         best = jnp.maximum(jnp.maximum(d, up_v), left_v)
-        Hn = best if gmode else jnp.maximum(best, DT(0))
+        Hn = best if noclamp else jnp.maximum(best, DT(0))
 
         if not lean:
             jvec = k - lane
             jout = jvec <= 0
-            Hn = jnp.where(jout, gapvec if gmode else DT(0), Hn)
+            Hn = jnp.where(jout, gapvec if noclamp else DT(0), Hn)
             if affine:
                 En = jnp.where(jout, NEG, En)
                 Fn = jnp.where(jout, NEG, Fn)
@@ -306,30 +306,6 @@ def _strip_kernel(
             u = k - (k // LANES) * LANES
             ptr_ref[u, :, :] = ptrv.astype(jnp.int8)
 
-        if want_starts:
-            SH1u = jnp.where(lane0, st["SHF"], rol1(st["SH1"]))
-            SH2d = jnp.where(lane0, st["SDF"], rol1(st["SH2"]))
-            nxt["SDF"] = st["SHF"]
-            nxt["SHF"] = rolm1(st["SHF"])
-            if affine:
-                SF1u = jnp.where(lane0, st["SFF"], rol1(st["SF1"]))
-                nxt["SFF"] = rolm1(st["SFF"])
-                SEn = jnp.where(E_ext >= E_opn, st["SE1"], st["SH1"])
-                SFn = jnp.where(F_ext >= F_opn, SF1u, SH1u)
-                up_s, left_s = SFn, SEn
-                nxt["SE1"] = SEn
-                nxt["SF1"] = SFn
-            else:
-                up_s, left_s = SH1u, st["SH1"]
-            SHn = jnp.where(d == best, SH2d, jnp.where(up_v == best, up_s, left_s))
-            pack = ipack + (k - lane)
-            stopm = best <= 0
-            if not lean:
-                stopm = stopm | jout
-            SHn = jnp.where(stopm, pack, SHn)
-            nxt["SH1"] = SHn
-            nxt["SH2"] = st["SH1"]
-
         jvec2 = k - lane
         if gmode:
             # capture the final cell H(qlen, tlen)
@@ -344,20 +320,12 @@ def _strip_kernel(
             upd = v > st["BV"]
             nxt["BV"] = jnp.where(upd, v, st["BV"])
             nxt["BK"] = jnp.where(upd, ipack + jvec2, st["BK"])
-            if want_starts:
-                nxt["BS"] = jnp.where(upd, SHn, st["BS"])
 
         # rotating collectors: lane 127's value self-aligns into the
         # ascending-column window layout (see module docstring)
         nxt["CH"] = jnp.where(lane_last, Hn, rolm1(st["CH"]))
         if affine:
             nxt["CF"] = jnp.where(lane_last, Fn, rolm1(st["CF"]))
-        if want_starts:
-            nxt["CSH"] = jnp.where(lane_last, SHn, rolm1(st["CSH"]))
-            if affine:
-                nxt["CSF"] = jnp.where(
-                    lane_last, SFn, rolm1(st["CSF"])
-                )
         return nxt
 
     def load_feeders(b):
@@ -365,10 +333,6 @@ def _strip_kernel(
         fd = {"TF": t2_ref[:, pl.ds(off, LANES)], "HF": hbot[:, pl.ds(off, LANES)]}
         if affine:
             fd["FF"] = fbot[:, pl.ds(off, LANES)]
-        if want_starts:
-            fd["SHF"] = shbot[:, pl.ds(off, LANES)]
-            if affine:
-                fd["SFF"] = sfbot[:, pl.ds(off, LANES)]
         return fd
 
     def flush(b, st):
@@ -378,10 +342,6 @@ def _strip_kernel(
             hbot[:, pl.ds(off, LANES)] = st["CH"]
             if affine:
                 fbot[:, pl.ds(off, LANES)] = st["CF"]
-            if want_starts:
-                shbot[:, pl.ds(off, LANES)] = st["CSH"]
-                if affine:
-                    sfbot[:, pl.ds(off, LANES)] = st["CSF"]
 
     all_names = names + fnames
 
@@ -415,10 +375,6 @@ def _strip_kernel(
                 st[n] = bv_scr[:]
             elif n == "BK":
                 st[n] = bk_scr[:]
-            elif n == "BS":
-                st[n] = bs_scr[:]
-            elif n in ("BK", "BS", "SH1", "SH2", "SE1", "SF1", "CSH", "CSF", "SDF"):
-                st[n] = jnp.zeros((BSUB, LANES), jnp.int32)
             else:
                 st[n] = jnp.zeros((BSUB, LANES), DT)
         return tuple(st[n] for n in all_names)
@@ -434,6 +390,14 @@ def _strip_kernel(
             for r, n in zip(state_scr, persist):
                 if n in ("E1", "F1"):
                     r[:] = jnp.full((BSUB, LANES), NEG, DT)
+                elif n == "SC":
+                    # the captured final-cell score must survive across
+                    # strips: with bucket padding the capture strip is not
+                    # the last one (reset only at the very first strip)
+                    @pl.when(s == 0)
+                    def _():
+                        r[:] = jnp.zeros_like(r)
+
                 else:
                     r[:] = jnp.zeros_like(r)
 
@@ -487,15 +451,11 @@ def _strip_kernel(
     bv_scr[:] = st["SC"] if gmode else st["BV"]
     if not gmode:
         bk_scr[:] = st["BK"]
-    if want_starts:
-        bs_scr[:] = st["BS"]
 
     @pl.when(s == S - 1)
     def _out():
         bv_ref[:] = (st["SC"] if gmode else st["BV"]).astype(bv_ref.dtype)
         bk_ref[:] = st["SC"].astype(bk_ref.dtype) if gmode else st["BK"]
-        if want_starts:
-            bs_ref[:] = st["BS"]
 
 
 def _build_profile_packed(qpad: jax.Array, table: jax.Array) -> jax.Array:
@@ -550,9 +510,9 @@ def _build_profile_rows(qpad: jax.Array, table: jax.Array) -> jax.Array:
         "profile",
         "packed",
         "A1",
-        "want_starts",
         "want_ptr",
         "gmode",
+        "emode",
         "dt16",
         "interpret",
     ),
@@ -574,10 +534,10 @@ def _strip_fill(
     profile,
     packed,
     A1,
-    want_starts,
     interpret,
     want_ptr=False,
     gmode=False,
+    emode=False,
     dt16=False,
 ):
     B, n_pad = qpad.shape
@@ -588,7 +548,8 @@ def _strip_fill(
     assert B % BSUB == 0, f"batch {B} not a multiple of BSUB {BSUB}"
     GB = B // BSUB
     NB = (W2 - LANES) // LANES
-    assert not (want_ptr and want_starts)
+    assert not (want_ptr and emode)
+    assert not (gmode and emode)
 
     qlenc = jnp.broadcast_to(qlen[:, None].astype(jnp.int32), (B, LANES))
     tlenc = jnp.broadcast_to(tlen[:, None].astype(jnp.int32), (B, LANES))
@@ -607,9 +568,9 @@ def _strip_fill(
         profile=profile,
         packed=packed,
         A1=A1,
-        want_starts=want_starts,
         want_ptr=want_ptr,
         gmode=gmode,
+        emode=emode,
         dt16=dt16,
     )
     DT = jnp.int16 if dt16 else jnp.int32
@@ -644,10 +605,11 @@ def _strip_fill(
             inputs.append(_build_profile_rows(qpad, table))
             in_specs.append(bspec((BSUB, 32, TI), lambda gb, s: (gb, 0, s)))
 
-    n_out = 3 if want_starts else 2
-    out_shapes = [jax.ShapeDtypeStruct((B, LANES), DT)] + [
-        jax.ShapeDtypeStruct((B, LANES), jnp.int32)
-    ] * (n_out - 1)
+    n_out = 2
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, LANES), DT),
+        jax.ShapeDtypeStruct((B, LANES), jnp.int32),
+    ]
     out_specs = [bspec((BSUB, LANES), lambda gb, s: (gb, 0))] * n_out
     if want_ptr:
         # v1-style 3-D pointer stream: block row-major over (gb, s, b, u);
@@ -666,14 +628,10 @@ def _strip_fill(
     scratch = [pltpu.VMEM((BSUB, W2), DT)]  # hbot
     if affine:
         scratch.append(pltpu.VMEM((BSUB, W2), DT))  # fbot
-    if want_starts:
-        scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # shbot
-        if affine:
-            scratch.append(pltpu.VMEM((BSUB, W2), jnp.int32))  # sfbot
     scratch.append(pltpu.VMEM((BSUB, LANES), DT))  # bv/SC
-    scratch += [pltpu.VMEM((BSUB, LANES), jnp.int32)] * (n_out - 1)
+    scratch.append(pltpu.VMEM((BSUB, LANES), jnp.int32))  # bk
     if want_ptr:
-        n_persist = len(_state_names(affine, False, gmode)) - (
+        n_persist = len(_state_names(affine, gmode)) - (
             0 if gmode else 2
         )  # BV/BK live in their own scratch
         scratch += [pltpu.VMEM((BSUB, LANES), DT)] * n_persist
@@ -691,11 +649,70 @@ def _strip_fill(
         ),
     )(*inputs)
     res = {"bv": outs[0], "bk": outs[1]}
-    if want_starts:
-        res["bs"] = outs[2]
     if want_ptr:
         res["P"] = outs[-1]
     return res
+
+
+def _prep_strip(q, t, qlen, tlen, table_h, *, gap_open, gap_extend, affine):
+    """Host-side strip-kernel input prep shared by strip_bucket and the
+    sharded path (parallel.dist.strip_sharded): sentinel-padded query
+    strips (B, n_pad) and shifted target windows (B, W2), plus the static
+    kernel-parameter dict (everything but BSUB/interpret)."""
+    B, n = q.shape
+    m = t.shape[1]
+    profile = bool(table_h.shape[0] > 8)
+    packed = bool(
+        profile
+        and table_h.min() >= -NIBBLE_BIAS
+        and table_h.max() <= 15 - NIBBLE_BIAS
+    )
+    # int16 DP state when every reachable score provably fits: the most
+    # negative cell is bounded by |o| + (n+m)*max(|e|, |s|) and the most
+    # positive by min(n,m)*max(s).
+    smax = int(max(abs(int(table_h.min())), abs(int(table_h.max()))))
+    bound = abs(gap_open) + (n + m) * max(abs(gap_extend), smax)
+    # int16 DP state halves vregs/array (tested bit-exact in interpret
+    # mode) but this Mosaic build legalizes no i16 vector ALU ops
+    # (rotate/shift/maxsi/cmpi all missing) -- off until the toolchain
+    # catches up (SEQALIB_STRIP_INT16=1 to re-enable).
+    dt16 = bool(
+        bound < abs(NEG_INF16) - 2000
+        and _os.environ.get("SEQALIB_STRIP_INT16", "0") == "1"
+    )
+    match = int(table_h[0, 0])
+    mismatch = int(table_h[0, 1]) if table_h.shape[0] > 1 else match
+    A1 = int(table_h.shape[0])
+    SENT_Q, SENT_T = A1, A1 + 1
+
+    n_pad = _ceil_to(max(n, 1), TI)
+    m_pad = _ceil_to(max(m, 1), LANES)
+    NB = m_pad // LANES + 1
+    W2 = (NB + 1) * LANES
+
+    iarr = np.arange(n_pad)[None, :]
+    qpad = np.full((B, n_pad), SENT_Q, np.int32)
+    qpad[:, :n] = q
+    qpad = np.where(iarr < qlen[:, None], qpad, SENT_Q).astype(np.int32)
+
+    xarr = np.arange(W2)[None, :]
+    t2 = np.full((B, W2), SENT_T, np.int32)
+    t2[:, 1 : 1 + m] = t
+    t2 = np.where((xarr >= 1) & (xarr <= tlen[:, None]), t2, SENT_T).astype(np.int32)
+
+    kwc = dict(
+        mq=m,
+        match=match,
+        mismatch=mismatch,
+        gap_open=gap_open,
+        gap_extend=gap_extend,
+        affine=bool(affine),
+        profile=profile,
+        packed=packed,
+        A1=A1,
+        dt16=dt16,
+    )
+    return qpad, t2, kwc
 
 
 def strip_bucket(
@@ -719,17 +736,25 @@ def strip_bucket(
 
     Same output contract as wavefront_pallas.pallas_bucket: dict of
     score/qs/qe/ts/te (B,) numpy arrays, plus "cigars" (list of str) when
-    want_tb=True (the pointer matrix streams to HBM in strip layout and
-    the walk runs host-side; starts come from the walk, so the fill
-    carries no start-tracking state).
+    want_tb=True.
+
+    mode="local" follows the two-pass canonical coords contract
+    (oracle.py docstring): pass 1 is the end-only fill (no per-cell
+    start-lineage state — the round-1 in-fill tracking was a structural
+    2x op-count tax, VERDICT.md item 1), pass 2 recovers the canonical
+    start by an anchored reverse-extension fill over the reversed
+    prefixes (row-windowed, escalating — see _reverse_starts), and
+    want_tb adds pass 3: a global fill+walk over the [qs:qe] x [ts:te]
+    windows (so the pointer stream covers only the alignments' own
+    footprint, not the full matrix).
 
     mode="global" (NW) captures H(qlen, tlen) and walks from there; the
     degenerate qlen==0 / tlen==0 rows are resolved host-side."""
     assert mode in ("local", "global") and band is None
     gmode = mode == "global"
-    if want_tb or gmode:
+    if gmode:
         want_starts = False
-    if want_tb:
+    if want_tb and gmode:
         # HBM guard: the pointer stream costs ~n_pad*(m_pad+TI) bytes per
         # pair; chunk oversized batches and merge.
         q = np.asarray(q)
@@ -742,6 +767,13 @@ def strip_bucket(
         )
         cap_pairs = max(32, cap_bytes // max(per_pair, 1))
         if q.shape[0] > cap_pairs:
+            log.info(
+                "pointer-stream HBM guard: chunking %d pairs into <=%d-pair "
+                "calls (%.1f MB/pair)",
+                q.shape[0],
+                cap_pairs,
+                per_pair / 1e6,
+            )
             merged = None
             for lo in range(0, q.shape[0], cap_pairs):
                 hi = lo + cap_pairs
@@ -787,83 +819,49 @@ def strip_bucket(
 
         BSUB = int(os.environ.get("SEQALIB_STRIP_BSUB", "32"))
     BSUB = max(SUBLANES, min(BSUB, _ceil_to(max(B0, SUBLANES), SUBLANES)))
-    if want_tb:
+    if want_tb and gmode:
         # the int8 pointer block's (BSUB, TI) trailing dims must respect
         # the int8 (32, 128) min tile
         BSUB = max(BSUB, 32)
 
     B = _ceil_to(max(B0, SUBLANES), BSUB)
     if B != B0:
+        # zero-length sentinel padding: padded slots are masked in-kernel
+        # and skip all start-recovery / traceback work
         pad = B - B0
-        q = np.concatenate([q, np.repeat(q[:1], pad, 0)], axis=0)
-        t = np.concatenate([t, np.repeat(t[:1], pad, 0)], axis=0)
-        qlen = np.concatenate([qlen, np.repeat(qlen[:1], pad, 0)])
-        tlen = np.concatenate([tlen, np.repeat(tlen[:1], pad, 0)])
+        q = np.concatenate([q, np.zeros((pad, q.shape[1]), q.dtype)], axis=0)
+        t = np.concatenate([t, np.zeros((pad, t.shape[1]), t.dtype)], axis=0)
+        qlen = np.concatenate([qlen, np.zeros(pad, qlen.dtype)])
+        tlen = np.concatenate([tlen, np.zeros(pad, tlen.dtype)])
 
-    profile = bool(table_h.shape[0] > 8)
-    packed = bool(
-        profile
-        and table_h.min() >= -NIBBLE_BIAS
-        and table_h.max() <= 15 - NIBBLE_BIAS
+    qpad, t2, kwc = _prep_strip(
+        q, t, qlen, tlen, table_h, gap_open=gap_open, gap_extend=gap_extend,
+        affine=bool(affine),
     )
-    # int16 DP state when every reachable score provably fits: the most
-    # negative cell is bounded by |o| + (n+m)*max(|e|, |s|) and the most
-    # positive by min(n,m)*max(s).
-    smax = int(max(abs(int(table_h.min())), abs(int(table_h.max()))))
-    bound = abs(gap_open) + (n + m) * max(abs(gap_extend), smax)
-    # int16 DP state halves vregs/array (tested bit-exact in interpret
-    # mode) but this Mosaic build legalizes no i16 vector ALU ops
-    # (rotate/shift/maxsi/cmpi all missing) -- off until the toolchain
-    # catches up (SEQALIB_STRIP_INT16=1 to re-enable).
-    dt16 = bool(
-        bound < abs(NEG_INF16) - 2000
-        and _os.environ.get("SEQALIB_STRIP_INT16", "0") == "1"
-    )
-    match = int(table_h[0, 0])
-    mismatch = int(table_h[0, 1]) if table_h.shape[0] > 1 else match
-    A1 = int(table_h.shape[0])
+    dt16 = kwc["dt16"]
+    A1 = kwc["A1"]
     SENT_Q, SENT_T = A1, A1 + 1
-
-    n_pad = _ceil_to(max(n, 1), TI)
-    m_pad = _ceil_to(max(m, 1), LANES)
-    NB = m_pad // LANES + 1
-    W2 = (NB + 1) * LANES
-
-    iarr = np.arange(n_pad)[None, :]
-    qpad = np.full((B, n_pad), SENT_Q, np.int32)
-    qpad[:, :n] = q
-    qpad = np.where(iarr < qlen[:, None], qpad, SENT_Q).astype(np.int32)
-
-    xarr = np.arange(W2)[None, :]
-    t2 = np.full((B, W2), SENT_T, np.int32)
-    t2[:, 1 : 1 + m] = t
-    t2 = np.where((xarr >= 1) & (xarr <= tlen[:, None]), t2, SENT_T).astype(np.int32)
+    n_pad = qpad.shape[1]
+    NB = (t2.shape[1] - LANES) // LANES
+    match, mismatch = kwc["match"], kwc["mismatch"]
+    profile, packed = kwc["profile"], kwc["packed"]
 
     DTh = np.int16 if dt16 else np.int32
-    res = _strip_fill(
+    dev_args = (
         jnp.asarray(qpad.astype(DTh)),
         jnp.asarray(t2.astype(DTh)),
         jnp.asarray(qlen),
         jnp.asarray(tlen),
         jnp.asarray(table_h),
-        BSUB=BSUB,
-        mq=m,
-        match=match,
-        mismatch=mismatch,
-        gap_open=gap_open,
-        gap_extend=gap_extend,
-        affine=bool(affine),
-        profile=profile,
-        packed=packed,
-        A1=A1,
-        want_starts=want_starts,
-        want_ptr=want_tb,
-        gmode=gmode,
-        dt16=dt16,
-        interpret=interpret,
     )
-    bv = np.asarray(res["bv"]).astype(np.int32)  # (B, 128)
-    bk = np.asarray(res["bk"])
+    kwc = dict(kwc, BSUB=BSUB, interpret=interpret)
+    need_starts = (want_starts or want_tb) and not gmode
+    if need_starts:
+        res = _strip_local_fused(*dev_args, **kwc)
+    else:
+        res = _strip_fill(*dev_args, want_ptr=want_tb and gmode, gmode=gmode, **kwc)
+        bv = np.asarray(res["bv"]).astype(np.int32)  # (B, 128)
+        bk = np.asarray(res["bk"])
     stride = m + 1
     barr0 = np.arange(B)
     if gmode:
@@ -907,45 +905,346 @@ def strip_bucket(
             res2["cigars"] = cigars[:B0]
             return res2
         return {k: v[:B0] for k, v in out.items()}
-    score = bv.max(axis=1)
-    masked_bk = np.where(bv == score[:, None], bk, np.iinfo(np.int32).max)
-    lsel = masked_bk.argmin(axis=1)
-    barr = np.arange(B)
-    packed_best = bk[barr, lsel]
-    empty = score <= 0
-    qe = np.where(empty, 0, packed_best // stride)
-    te = np.where(empty, 0, packed_best % stride)
+    if not need_starts:
+        score, qe, te = _reduce_best(bv, bk, stride)
+        return {
+            "score": score.astype(np.int32)[:B0],
+            "qe": qe.astype(np.int32)[:B0],
+            "te": te.astype(np.int32)[:B0],
+            "qs": np.zeros(B0, np.int32),
+            "ts": np.zeros(B0, np.int32),
+        }
+
+    score = np.asarray(res["score"]).astype(np.int32)
+    qe = np.asarray(res["qe"]).astype(np.int64)
+    te = np.asarray(res["te"]).astype(np.int64)
+    qs = np.asarray(res["qs"]).astype(np.int32)
+    ts = np.asarray(res["ts"]).astype(np.int32)
     out = {
-        "score": score.astype(np.int32),
+        "score": score,
         "qe": qe.astype(np.int32),
         "te": te.astype(np.int32),
     }
-    if want_tb:
-        GB = B // BSUB
-        S_ = n_pad // TI
-        P = np.asarray(res["P"]).reshape(GB, S_, NB * LANES, BSUB, TI)
-        cigars, fi, fj = _strip_walk(
-            P,
-            qe.astype(np.int64),
-            te.astype(np.int64),
-            empty,
-            bool(affine),
-            BSUB,
+    # escalation: pairs whose alignment spans more than the fused pass-2
+    # row window didn't reproduce the score there — rerun wider (rare)
+    fail = (np.asarray(res["score2"]).astype(np.int32) != score) & (score > 0)
+    if fail.any():
+        log.info(
+            "two-pass start recovery: %d/%d pairs escalated past the fused "
+            "%d-row window",
+            int(fail.sum()),
+            B0,
+            TI,
         )
-        out["qs"] = fi.astype(np.int32)
-        out["ts"] = fj.astype(np.int32)
-        res2 = {k: v[:B0] for k, v in out.items()}
-        res2["cigars"] = cigars[:B0]
-        return res2
-    if want_starts:
-        bs = np.asarray(res["bs"])
-        spacked = bs[barr, lsel]
-        out["qs"] = np.where(empty, 0, spacked // stride).astype(np.int32)
-        out["ts"] = np.where(empty, 0, spacked % stride).astype(np.int32)
-    else:
-        out["qs"] = np.zeros(B, np.int32)
-        out["ts"] = np.zeros(B, np.int32)
-    return {k: v[:B0] for k, v in out.items()}
+        qs2, ts2 = _reverse_starts(
+            q,
+            t,
+            np.where(fail, score, 0),
+            qe,
+            te,
+            table_h,
+            gap_open=gap_open,
+            gap_extend=gap_extend,
+            affine=bool(affine),
+            BSUB=BSUB,
+            interpret=interpret,
+            Wq0=4 * TI,
+        )
+        qs = np.where(fail, qs2, qs)
+        ts = np.where(fail, ts2, ts)
+    out["qs"] = qs.astype(np.int32)
+    out["ts"] = ts.astype(np.int32)
+    if not want_tb:
+        return {k: v[:B0] for k, v in out.items()}
+
+    # pass 3: canonical CIGARs = global fill + walk over the windows
+    wq = (qe - qs).astype(np.int64)
+    wt = (te - ts).astype(np.int64)
+    Lw_q = int(max(wq.max(), 1))
+    Lw_t = int(max(wt.max(), 1))
+    karr = np.arange(Lw_q)[None, :]
+    qw = np.full((B, Lw_q), SENT_Q, np.int32)
+    if n:
+        qw = np.where(
+            karr < wq[:, None],
+            q[np.arange(B)[:, None], np.minimum(qs[:, None] + karr, n - 1)],
+            SENT_Q,
+        ).astype(np.int32)
+    karr = np.arange(Lw_t)[None, :]
+    tw = np.full((B, Lw_t), SENT_T, np.int32)
+    if m:
+        tw = np.where(
+            karr < wt[:, None],
+            t[np.arange(B)[:, None], np.minimum(ts[:, None] + karr, m - 1)],
+            SENT_T,
+        ).astype(np.int32)
+    win = strip_bucket(
+        qw,
+        tw,
+        wq.astype(np.int32),
+        wt.astype(np.int32),
+        table_h,
+        mode="global",
+        gap_open=gap_open,
+        gap_extend=gap_extend,
+        affine=affine,
+        want_tb=True,
+        BSUB=BSUB,
+    )
+    assert np.array_equal(np.asarray(win["score"]), score), (
+        "window-global score must equal the local score"
+    )
+    res2 = {k: v[:B0] for k, v in out.items()}
+    res2["cigars"] = ["" if score[b] <= 0 else win["cigars"][b] for b in range(B0)]
+    return res2
+
+
+def _reduce_best_jnp(bv, bk, stride):
+    """In-jit canonical argmax reduce (see _reduce_best)."""
+    bv = bv.astype(jnp.int32)
+    score = jnp.max(bv, axis=1)
+    big = jnp.int32(np.iinfo(np.int32).max)
+    masked_bk = jnp.where(bv == score[:, None], bk, big)
+    packed_best = jnp.min(masked_bk, axis=1)
+    empty = score <= 0
+    bi = jnp.where(empty, 0, packed_best // stride)
+    bj = jnp.where(empty, 0, packed_best % stride)
+    return score, bi, bj
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "BSUB",
+        "mq",
+        "match",
+        "mismatch",
+        "gap_open",
+        "gap_extend",
+        "affine",
+        "profile",
+        "packed",
+        "A1",
+        "dt16",
+        "interpret",
+        "WR",
+    ),
+)
+def _strip_local_fused(
+    qpad,
+    t2,
+    qlen,
+    tlen,
+    table,
+    *,
+    BSUB,
+    mq,
+    match,
+    mismatch,
+    gap_open,
+    gap_extend,
+    affine,
+    profile,
+    packed,
+    A1,
+    dt16,
+    interpret,
+    WR=TI,
+):
+    """Fused two-pass local coords, fully inside jit: the end-only local
+    fill, the canonical-end reduce, the reversed-prefix gathers, and the
+    row-windowed (WR rows) anchored reverse-extension fill.
+
+    Returns score/qe/te/qs/ts plus the extension max score2; a pair whose
+    alignment extends past WR query rows has score2 < score and must be
+    escalated host-side (strip_bucket._reverse_starts).  One jit means the
+    whole coords path is a single device program — the unit the mesh path
+    shard_maps and the bench times.
+    """
+    kw = dict(
+        BSUB=BSUB,
+        mq=mq,
+        match=match,
+        mismatch=mismatch,
+        gap_open=gap_open,
+        gap_extend=gap_extend,
+        affine=affine,
+        profile=profile,
+        packed=packed,
+        A1=A1,
+        dt16=dt16,
+        interpret=interpret,
+    )
+    r1 = _strip_fill(qpad, t2, qlen, tlen, table, **kw)
+    score, qe, te = _reduce_best_jnp(r1["bv"], r1["bk"], mq + 1)
+
+    SENT_Q, SENT_T = A1, A1 + 1
+    n_pad = qpad.shape[1]
+    W2 = t2.shape[1]
+    # reversed prefixes: row k <-> q[qe-1-k] = qpad[qe-1-k]; column
+    # x <-> t[te-x] = t2[te-x+1]
+    karr = jnp.arange(WR, dtype=jnp.int32)[None, :]
+    idx = qe[:, None] - 1 - karr
+    qr = jnp.where(
+        idx >= 0,
+        jnp.take_along_axis(
+            qpad.astype(jnp.int32), jnp.clip(idx, 0, n_pad - 1), axis=1
+        ),
+        SENT_Q,
+    ).astype(qpad.dtype)
+    xarr = jnp.arange(W2, dtype=jnp.int32)[None, :]
+    tidx = te[:, None] - xarr + 1
+    tr = jnp.where(
+        (xarr >= 1) & (xarr <= te[:, None]),
+        jnp.take_along_axis(
+            t2.astype(jnp.int32), jnp.clip(tidx, 0, W2 - 1), axis=1
+        ),
+        SENT_T,
+    ).astype(t2.dtype)
+    r2 = _strip_fill(
+        qr,
+        tr,
+        jnp.minimum(qe, WR),
+        te,
+        table,
+        emode=True,
+        **kw,
+    )
+    score2, ri, rj = _reduce_best_jnp(r2["bv"], r2["bk"], mq + 1)
+    pos = score > 0
+    qs = jnp.where(pos, qe - ri, 0)
+    ts = jnp.where(pos, te - rj, 0)
+    return {
+        "score": score,
+        "qe": qe,
+        "te": te,
+        "qs": qs,
+        "ts": ts,
+        "score2": score2,
+    }
+
+
+def _reduce_best(bv: np.ndarray, bk: np.ndarray, stride: int):
+    """Canonical argmax reduce over the per-lane bests: score = max, cell =
+    min packed index among maxima (= smallest i, then smallest j)."""
+    score = bv.max(axis=1)
+    masked_bk = np.where(bv == score[:, None], bk, np.iinfo(np.int32).max)
+    lsel = masked_bk.argmin(axis=1)
+    packed_best = bk[np.arange(len(bv)), lsel]
+    empty = score <= 0
+    bi = np.where(empty, 0, packed_best // stride)
+    bj = np.where(empty, 0, packed_best % stride)
+    return score, bi, bj
+
+
+def _reverse_starts(
+    q: np.ndarray,
+    t: np.ndarray,
+    score: np.ndarray,
+    qe: np.ndarray,
+    te: np.ndarray,
+    table_h: np.ndarray,
+    *,
+    gap_open: int,
+    gap_extend: int,
+    affine: bool,
+    BSUB: int,
+    interpret: bool,
+    Wq0: int = TI,
+):
+    """Canonical local starts by anchored reverse extension (pass 2).
+
+    For each pair with score > 0, aligns reverse(q[:qe]) vs reverse(t[:te])
+    with the global recurrence (emode) and takes the first score-max cell
+    (ri, rj) in scan order; the canonical start is (qe - ri, te - rj).
+
+    The query side is row-windowed to Wq rows (escalating x4 on failure):
+    with the FULL reversed target span always scanned, finding the target
+    score inside the window is sufficient — every competitor with a
+    smaller ri lies inside the window too — so acceptance needs no
+    geometric slack bound.  Random-data alignments fit Wq=128 almost
+    always, so pass 2 costs ~Wq/n of pass 1."""
+    B = len(score)
+    qs = np.zeros(B, np.int32)
+    ts = np.zeros(B, np.int32)
+    pend = np.nonzero(score > 0)[0]
+    A1 = int(table_h.shape[0])
+    SENT_Q, SENT_T = A1, A1 + 1
+    profile = bool(A1 > 8)
+    packed = bool(
+        profile
+        and table_h.min() >= -NIBBLE_BIAS
+        and table_h.max() <= 15 - NIBBLE_BIAS
+    )
+    match = int(table_h[0, 0])
+    mismatch = int(table_h[0, 1]) if A1 > 1 else match
+    Wq = Wq0
+    while pend.size:
+        qe_s = qe[pend].astype(np.int64)
+        te_s = te[pend].astype(np.int64)
+        n_pad = min(Wq, _ceil_to(int(qe_s.max()), TI))
+        wq = np.minimum(qe_s, n_pad)
+        m_sub = int(te_s.max())
+        m_pad = _ceil_to(max(m_sub, 1), LANES)
+        W2 = (m_pad // LANES + 2) * LANES
+        bs_sub = max(SUBLANES, min(BSUB, _ceil_to(len(pend), SUBLANES)))
+        Bs = _ceil_to(max(len(pend), SUBLANES), bs_sub)
+
+        # reversed prefixes: row k <-> q[qe-1-k]; column x <-> t[te-x]
+        karr = np.arange(n_pad)[None, :]
+        idx = qe_s[:, None] - 1 - karr
+        qr = np.full((Bs, n_pad), SENT_Q, np.int32)
+        qr[: len(pend)] = np.where(
+            idx >= 0, q[pend[:, None], np.maximum(idx, 0)], SENT_Q
+        )
+        xarr = np.arange(W2)[None, :]
+        tidx = te_s[:, None] - xarr
+        tr = np.full((Bs, W2), SENT_T, np.int32)
+        tr[: len(pend)] = np.where(
+            (xarr >= 1) & (tidx >= 0),
+            t[pend[:, None], np.clip(tidx, 0, t.shape[1] - 1)],
+            SENT_T,
+        )
+        qlen_r = np.zeros(Bs, np.int32)
+        qlen_r[: len(pend)] = wq
+        tlen_r = np.zeros(Bs, np.int32)
+        tlen_r[: len(pend)] = te_s
+
+        res = _strip_fill(
+            jnp.asarray(qr),
+            jnp.asarray(tr),
+            jnp.asarray(qlen_r),
+            jnp.asarray(tlen_r),
+            jnp.asarray(table_h),
+            BSUB=bs_sub,
+            mq=m_sub,
+            match=match,
+            mismatch=mismatch,
+            gap_open=gap_open,
+            gap_extend=gap_extend,
+            affine=affine,
+            profile=profile,
+            packed=packed,
+            A1=A1,
+            emode=True,
+            interpret=interpret,
+        )
+        bv = np.asarray(res["bv"]).astype(np.int32)[: len(pend)]
+        bk = np.asarray(res["bk"])[: len(pend)]
+        score2, ri, rj = _reduce_best(bv, bk, m_sub + 1)
+        ok = score2 == score[pend]
+        # full-height windows must reproduce the score — anything else is a
+        # kernel/contract bug, not a windowing artifact
+        assert np.all(ok | (qe_s > n_pad)), (
+            "reverse extension lost the local score",
+            pend[~(ok | (qe_s > n_pad))],
+        )
+        sel = pend[ok]
+        qs[sel] = (qe[sel] - ri[ok]).astype(np.int32)
+        ts[sel] = (te[sel] - rj[ok]).astype(np.int32)
+        pend = pend[~ok]
+        Wq *= 4
+    return qs, ts
 
 
 def _strip_walk(P, qe, te, done0, affine, BSUB, global_mode=False):

@@ -601,6 +601,8 @@ def pallas_bucket(
     route to the strip-tiled v2 kernel (strip_pallas), which is ~3-5x
     faster; banded full-matrix fallbacks stay on the v1 kernels here.
     """
+    if band is not None and mode == "local":
+        raise ValueError("banded local alignment is out of contract")
     if band is None and mode in ("local", "global"):
         from .strip_pallas import strip_bucket
 

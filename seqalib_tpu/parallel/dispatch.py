@@ -76,6 +76,24 @@ def run_bucket(
     args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), table)
 
     if mesh is not None:
+        if backend == "pallas" and band is None and mode == "local":
+            # fast path: shard_map over the fused strip-kernel coords
+            # program (VERDICT.md round-1 item 2)
+            from .dist import strip_sharded
+
+            return strip_sharded(
+                mesh,
+                np.asarray(q),
+                np.asarray(t),
+                np.asarray(qlen),
+                np.asarray(tlen),
+                sentinel_table(sp),
+                mode=mode,
+                gap_open=sp.gap_open,
+                gap_extend=sp.gap_extend,
+                affine=affine,
+                want_tb=traceback,
+            )
         from .dist import gather_to_host, wavefront_sharded
 
         return gather_to_host(wavefront_sharded(mesh, *args, **kwargs))
@@ -119,13 +137,17 @@ def dispatch_batch(
         and mesh is None
     ):
         # long-read path: O(n*w) banded kernel + checkpointed traceback
-        # (models.banded); pairs grouped by length delta so band geometry
-        # is uniform per kernel call.
+        # (models.banded).  Pairs are grouped by QUANTIZED length delta
+        # (buckets of `band` wide): the kernel enforces exact per-pair band
+        # bounds in-mask, so a group only needs its slot geometry to cover
+        # the delta spread — exact-delta grouping recompiled the kernel per
+        # distinct len(t)-len(q) on ragged long-read sets (VERDICT.md
+        # round-1 item 3).
         from ..models.banded import banded_align_batch
 
         groups: Dict[int, List[int]] = {}
         for idx, (q, t) in enumerate(zip(qs, ts)):
-            groups.setdefault(len(t) - len(q), []).append(idx)
+            groups.setdefault((len(t) - len(q)) // max(band, 1), []).append(idx)
         results: List[Optional[AlignResult]] = [None] * n_pairs
         for delta, idxs in sorted(groups.items()):
             Lq = max(len(qs[i]) for i in idxs)
@@ -156,14 +178,14 @@ def dispatch_batch(
         Bp = max(B, 1)
         if pad_batch_to > 1:
             Bp = ((B + pad_batch_to - 1) // pad_batch_to) * pad_batch_to
-        qb = _pad_stack([qs[i] for i in idxs] + [qs[idxs[0]]] * (Bp - B), Lq)
-        tb = _pad_stack([ts[i] for i in idxs] + [ts[idxs[0]]] * (Bp - B), Lt)
-        qlen = np.array(
-            [len(qs[i]) for i in idxs] + [len(qs[idxs[0]])] * (Bp - B), np.int32
-        )
-        tlen = np.array(
-            [len(ts[i]) for i in idxs] + [len(ts[idxs[0]])] * (Bp - B), np.int32
-        )
+        # tail padding uses ZERO-LENGTH sentinels, not replicated real
+        # pairs: padded slots then do no traceback/start-recovery work and
+        # their fill lanes are masked out (VERDICT.md round-1 item 6)
+        zpad = [np.zeros(0, np.int32)] * (Bp - B)
+        qb = _pad_stack([qs[i] for i in idxs] + zpad, Lq)
+        tb = _pad_stack([ts[i] for i in idxs] + zpad, Lt)
+        qlen = np.array([len(qs[i]) for i in idxs] + [0] * (Bp - B), np.int32)
+        tlen = np.array([len(ts[i]) for i in idxs] + [0] * (Bp - B), np.int32)
         out = run_bucket(
             qb, tb, qlen, tlen, sp, mode, band, backend, traceback, mesh=mesh
         )

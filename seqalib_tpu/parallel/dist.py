@@ -93,6 +93,150 @@ def wavefront_sharded(
     return jax.jit(sharded)(*args)
 
 
+def strip_sharded(
+    mesh: Mesh,
+    q: np.ndarray,
+    t: np.ndarray,
+    qlen: np.ndarray,
+    tlen: np.ndarray,
+    table: np.ndarray,
+    *,
+    mode: str,
+    gap_open: int,
+    gap_extend: int,
+    affine: bool,
+    want_tb: bool,
+    BSUB: Optional[int] = None,
+):
+    """Pair-stream sharding of the strip-kernel fast path (SURVEY.md §3.2-1:
+    ``pl.pallas_call`` inside the shard_map body; VERDICT.md round-1 item 2).
+
+    Local mode shard_maps the fused two-pass coords program
+    (ops.strip_pallas._strip_local_fused) over the 'pairs' axis; rare
+    escalations (alignments taller than the fused pass-2 row window) and
+    the want_tb window-traceback pass run host-side after the gather, on
+    the strip kernels, unsharded — they touch only the alignments' own
+    footprint.  Global mode falls back to the XLA sharded path (its
+    pointer stream would have to be gathered whole; the banded/global
+    contract paths live elsewhere)."""
+    import functools as _ft
+
+    import jax.numpy as jnp
+
+    from ..ops.strip_pallas import (
+        SUBLANES,
+        _ceil_to,
+        _prep_strip,
+        _reverse_starts,
+        _strip_local_fused,
+    )
+
+    if mode != "local":
+        raise ValueError("strip_sharded handles local mode; use the xla path")
+    ndev = mesh.shape[PAIR_AXIS]
+    q = np.asarray(q)
+    t = np.asarray(t)
+    qlen = np.asarray(qlen, np.int32)
+    tlen = np.asarray(tlen, np.int32)
+    B0 = q.shape[0]
+
+    if BSUB is None:
+        import os
+
+        BSUB = int(os.environ.get("SEQALIB_STRIP_BSUB", "32"))
+    # per-device batch must be a BSUB multiple (the kernel grid asserts it)
+    Bs = -(-B0 // ndev)
+    BSUB = max(SUBLANES, min(BSUB, _ceil_to(Bs, SUBLANES)))
+    Bs = _ceil_to(Bs, BSUB)
+    B = Bs * ndev
+    if B != B0:
+        pad = B - B0
+        q = np.concatenate([q, np.repeat(q[:1], pad, 0)], axis=0)
+        t = np.concatenate([t, np.repeat(t[:1], pad, 0)], axis=0)
+        qlen = np.concatenate([qlen, np.zeros(pad, np.int32)])
+        tlen = np.concatenate([tlen, np.zeros(pad, np.int32)])
+
+    table_h = np.asarray(table)
+    qpad, t2, kwc = _prep_strip(
+        q, t, qlen, tlen, table_h,
+        gap_open=gap_open, gap_extend=gap_extend, affine=affine,
+    )
+    interpret = jax.devices()[0].platform != "tpu"
+    fn = _ft.partial(_strip_local_fused, **kwc, BSUB=BSUB, interpret=interpret)
+    args = (
+        jnp.asarray(qpad),
+        jnp.asarray(t2),
+        jnp.asarray(qlen),
+        jnp.asarray(tlen),
+        jnp.asarray(table_h),
+    )
+    in_specs = (P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS), P(None, None))
+    out_specs = _out_specs_like(fn, args)
+    sharded = jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+    res = gather_to_host(jax.jit(sharded)(*args))
+
+    score = res["score"].astype(np.int32)
+    qe = res["qe"].astype(np.int64)
+    te = res["te"].astype(np.int64)
+    qs = res["qs"].astype(np.int32)
+    ts = res["ts"].astype(np.int32)
+    fail = (res["score2"].astype(np.int32) != score) & (score > 0)
+    if fail.any():
+        from ..ops.strip_pallas import TI
+
+        qs2, ts2 = _reverse_starts(
+            q, t, np.where(fail, score, 0), qe, te, table_h,
+            gap_open=gap_open, gap_extend=gap_extend, affine=affine,
+            BSUB=BSUB, interpret=interpret, Wq0=4 * TI,
+        )
+        qs = np.where(fail, qs2, qs)
+        ts = np.where(fail, ts2, ts)
+    out = {
+        "score": score[:B0],
+        "qs": qs[:B0],
+        "qe": qe.astype(np.int32)[:B0],
+        "ts": ts[:B0],
+        "te": te.astype(np.int32)[:B0],
+    }
+    if not want_tb:
+        return out
+    # window traceback (pass 3), host-orchestrated on the strip kernels
+    from ..ops.strip_pallas import strip_bucket
+
+    wq = (qe[:B0] - qs[:B0]).astype(np.int64)
+    wt = (te[:B0] - ts[:B0]).astype(np.int64)
+    Lw_q = int(max(wq.max(), 1))
+    Lw_t = int(max(wt.max(), 1))
+    A1 = int(table_h.shape[0])
+    karr = np.arange(Lw_q)[None, :]
+    qw = np.full((B0, Lw_q), A1, np.int32)
+    if q.shape[1]:
+        qw = np.where(
+            karr < wq[:, None],
+            q[np.arange(B0)[:, None], np.minimum(qs[:B0, None] + karr, q.shape[1] - 1)],
+            A1,
+        ).astype(np.int32)
+    karr = np.arange(Lw_t)[None, :]
+    tw = np.full((B0, Lw_t), A1 + 1, np.int32)
+    if t.shape[1]:
+        tw = np.where(
+            karr < wt[:, None],
+            t[np.arange(B0)[:, None], np.minimum(ts[:B0, None] + karr, t.shape[1] - 1)],
+            A1 + 1,
+        ).astype(np.int32)
+    win = strip_bucket(
+        qw, tw, wq.astype(np.int32), wt.astype(np.int32), table_h,
+        mode="global", gap_open=gap_open, gap_extend=gap_extend,
+        affine=affine, want_tb=True,
+    )
+    out["cigars"] = [
+        "" if out["score"][b] <= 0 else win["cigars"][b] for b in range(B0)
+    ]
+    return out
+
+
 def gather_to_host(tree):
     """Bring a (possibly multi-host sharded) result pytree to every host.
 

@@ -24,6 +24,25 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu_smoke: curated on-chip regression subset (<=8 tests, <=3 min "
+        "through the tunnel): SEQALIB_TEST_TPU=1 pytest -m tpu_smoke",
+    )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Drop compiled executables between modules: the CPU (LLVM JIT)
+    backend segfaults in backend_compile_and_load once ~90 tests' worth of
+    large interpret-mode kernel programs accumulate in one process."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

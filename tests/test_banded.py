@@ -96,10 +96,21 @@ def test_banded_vmem_chunking_preserves_results(rng, monkeypatch):
     assert [str(r) for r in chunked] == [str(r) for r in full]
 
 
-def test_banded_rejects_mixed_delta(rng):
-    qs, ts, qlen, tlen = _random_bucket(rng, [30, 30], [34, 32])
-    with pytest.raises(ValueError):
-        banded_align_batch(qs, ts, qlen, tlen, SP, band=8)
+def test_banded_mixed_delta_bucket(rng):
+    """One kernel call covering pairs with DIFFERENT tlen-qlen: per-pair
+    in-kernel band bounds must reproduce each pair's own oracle band
+    semantics (the round-1 driver recompiled per distinct delta)."""
+    from seqalib_tpu.oracle import nw_affine
+
+    w = 8
+    lens = [(60, 60), (50, 64), (64, 48), (40, 40)]
+    qs, ts, qlen, tlen = _random_bucket(
+        rng, [a for a, _ in lens], [b for _, b in lens]
+    )
+    res = banded_align_batch(qs, ts, qlen, tlen, SP, band=w, traceback=True)
+    for b, (lq, lt) in enumerate(lens):
+        ref = nw_affine(qs[b, :lq], ts[b, :lt], SP, band=w)
+        assert (res[b].score, res[b].cigar) == (ref.score, ref.cigar), b
 
 
 def test_banded_rejects_matrix_scoring(rng):

@@ -53,6 +53,25 @@ def test_sharded_global_affine_protein(mesh, rng):
     _check(res, qs, ts, sp, "global")
 
 
+def test_sharded_strip_local_parity(mesh, rng):
+    """backend='pallas' + mesh must ride the strip fast path (shard_map
+    over the fused coords program) and stay bit-exact vs the oracle."""
+    sp = ScoringParams.blosum62()
+    qs = [random_protein(rng, int(n)) for n in rng.integers(15, 80, size=11)]
+    ts = [random_protein(rng, int(n)) for n in rng.integers(15, 80, size=11)]
+    res = align_batch(qs, ts, scoring=sp, mode="local", backend="pallas", mesh=mesh)
+    _check(res, qs, ts, sp, "local")
+
+
+def test_sharded_strip_matches_unsharded(mesh, rng):
+    sp = ScoringParams.affine()
+    qs = [random_dna(rng, 48) for _ in range(10)]
+    ts = [random_dna(rng, 48) for _ in range(10)]
+    a = align_batch(qs, ts, scoring=sp, mode="local", backend="pallas", mesh=mesh)
+    b = align_batch(qs, ts, scoring=sp, mode="local", backend="pallas")
+    assert a == b
+
+
 def test_sharded_matches_unsharded(mesh, rng):
     sp = ScoringParams.affine()
     qs = [random_dna(rng, 64) for _ in range(16)]

