@@ -21,8 +21,13 @@ VMEM scratch across sequential grid steps; per chunk the kernel can emit
 BASELINE.json:5) and/or (b) the packed pointer block for that chunk,
 both streamed to HBM through blocked output specs.
 
-Scoring is scalar match/mismatch (DNA — the long-read domain of config 4);
-substitution-matrix banded alignment falls back to the full-matrix kernel.
+Scoring is scalar match/mismatch (DNA — the long-read domain of config 4)
+or, with ``profile=True``, substitution-matrix lookup via the packed-nibble
+query profile (the strip kernel's technique, strip_pallas.py): the band
+slides ``G_PROF`` packed-profile windows instead of one query-letter
+window; the per-cell score is a 4-way group select + nibble shift — no
+gathers.  Tables must fit the nibble range [-NIBBLE_BIAS, 15-NIBBLE_BIAS]
+(BLOSUM62 does); wider tables use the full-matrix wavefront kernel.
 
 Driver: `seqalib_tpu.models.banded`.
 """
@@ -43,7 +48,15 @@ _EXT_E_BIT = 2
 _EXT_F_BIT = 3
 
 LANES = 128
-N_STATE = 6  # H1, H2, E, F, QW, TW
+N_STATE = 6  # scalar mode: H1, H2, E, F, QW, TW
+NIBBLE_BIAS = 4  # packed-profile bias (strip_pallas.py convention)
+G_PROF = 4  # 32 letters / 8 nibbles per int32
+
+
+def n_band_state(profile: bool) -> int:
+    """State rows: H1, H2, E, F, then the sliding letter/profile windows
+    (QW scalar mode | PW0..PW3 profile mode), then TW last."""
+    return 4 + (G_PROF if profile else 1) + 1
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -51,7 +64,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _band_kernel(
-    qk_ref,  # (B, Lqp) i32: qk[:, x] = q[x-1] (sentinel outside [1, qlen])
+    qk_ref,  # (B, Lqp) i32 letters (scalar) | (G_PROF, B, Lqp) i32 packed profile
     tk_ref,  # (B, Ltp) i32: tk[:, x] = t[x-1] (sentinel outside)
     qlenc_ref,  # (B, 128) i32
     tlenc_ref,  # (B, 128) i32
@@ -78,7 +91,9 @@ def _band_kernel(
     gap_extend: int,
     want_ptr: bool,
     want_ckpt: bool,
+    profile: bool,
 ):
+    NS = n_band_state(profile)
     g = pl.program_id(0)
     o, e = gap_open, gap_extend
     NEG = jnp.int32(NEG_INF)
@@ -95,44 +110,59 @@ def _band_kernel(
 
     @pl.when(g == 0)
     def _init():
-        for a in range(N_STATE):
+        for a in range(NS):
             state_scratch[a][:] = state_in_ref[a, :, :]
         score_ref[:] = jnp.full((B, Wp), NEG, jnp.int32)
 
     if want_ckpt:
         # checkpoint = state entering this chunk (diagonal k0 = chunk start)
-        for a in range(N_STATE):
+        for a in range(NS):
             ckpt_ref[0, a, :, :] = state_scratch[a][:]
 
     def ihat(k):
         return jnp.maximum(0, (k - dhi + 1) // 2)
 
-    def col(ref, x):
-        """(B, 1) letter ref[:, x] via aligned-block load + mask-reduce."""
+    def col(ref, x, gi=None):
+        """(B, 1) word ref[(gi,) :, x] via aligned-block load + mask-reduce."""
         xs = jnp.maximum(x, 0)
         off = pl.multiple_of((xs // LANES) * LANES, LANES)
-        blk = ref[:, pl.ds(off, LANES)]
+        if gi is None:
+            blk = ref[:, pl.ds(off, LANES)]
+        else:
+            blk = ref[gi, :, pl.ds(off, LANES)]
         return jnp.sum(jnp.where(lane128 == (xs - off), blk, 0), axis=1, keepdims=True)
 
     def substep(k, st):
-        H1, H2, E1, F1, QW, TW = st
+        H1, H2, E1, F1 = st[:4]
+        qws = list(st[4:-1])  # [QW] scalar mode | [PW0..PW3] profile mode
+        TW = st[-1]
         live = k < K
 
         ih = ihat(k)
         d1 = ih - ihat(k - 1)  # {0, 1}
         d2 = ih - ihat(k - 2)  # {0, 1, 2}
 
-        # letter windows (QW[p] = q[ih+p-1], TW[p] = t[k-ih-p-1])
-        QW = pltpu.roll(QW, -d1, axis=1)
-        qtop = col(qk_ref, ih + Wp - 1)
-        QW = jnp.where(parr == Wp - 1, jnp.broadcast_to(qtop, (B, Wp)), QW)
+        # sliding windows (QW/PWg[p] = src[ih+p-1], TW[p] = t[k-ih-p-1])
+        for gi in range(len(qws)):
+            w = pltpu.roll(qws[gi], -d1, axis=1)
+            top = col(qk_ref, ih + Wp - 1, gi if profile else None)
+            qws[gi] = jnp.where(
+                parr == Wp - 1, jnp.broadcast_to(top, (B, Wp)), w
+            )
         TW = pltpu.roll(TW, 1 - d1, axis=1)
         tlow = col(tk_ref, k - ih)
         TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
 
         ivec = ih + parr
         jvec = k - ivec
-        s_vec = jnp.where(QW == TW, jnp.int32(match), jnp.int32(mismatch))
+        if profile:
+            # packed-nibble lookup: group select by TW>>3, nibble by TW&7
+            grp = qws[0]
+            for gi in range(1, G_PROF):
+                grp = jnp.where((TW >> 3) == gi, qws[gi], grp)
+            s_vec = ((grp >> ((TW & 7) * 4)) & 0xF) - NIBBLE_BIAS
+        else:
+            s_vec = jnp.where(qws[0] == TW, jnp.int32(match), jnp.int32(mismatch))
 
         # neighbors: l = H[k-1][p+d1], u = H[k-1][p+d1-1], d = H[k-2][p+d2-1]
         Hl = pltpu.roll(H1, -d1, axis=1)
@@ -186,7 +216,7 @@ def _band_kernel(
             )
             ptr_ref[k - k_start - g * CK, :, :] = pword.astype(jnp.int8)
 
-        return (Hn, H1, En, Fn, QW, TW)
+        return (Hn, H1, En, Fn, *qws, TW)
 
     def group(gi, st):
         k0 = k_start + g * CK + gi * NSUB
@@ -194,27 +224,57 @@ def _band_kernel(
             st = substep(k0 + u, st)
         return st
 
-    st0 = tuple(state_scratch[a][:] for a in range(N_STATE))
+    st0 = tuple(state_scratch[a][:] for a in range(NS))
     stN = jax.lax.fori_loop(0, CK // NSUB, group, st0)
-    for a in range(N_STATE):
+    for a in range(NS):
         state_scratch[a][:] = stN[a]
 
     last = g == pl.num_programs(0) - 1
 
     @pl.when(last)
     def _out():
-        for a in range(N_STATE):
+        for a in range(NS):
             state_out_ref[a, :, :] = stN[a]
 
 
-def init_band_state(qk: np.ndarray, B: int, Wp: int) -> np.ndarray:
-    """Initial state entering diagonal 0: H/E/F = NEG; QW pre-filled with
-    the query's first Wp letters (the band's clamp phase never re-inserts
-    below the top slot), TW fills progressively via per-step inserts."""
-    st = np.full((N_STATE, B, Wp), NEG_INF, np.int32)
-    st[4] = np.asarray(qk)[:, :Wp]  # QW[p] = q[p-1] (slot 0 = sentinel)
-    st[5] = 0
+def init_band_state(
+    qk: np.ndarray, B: int, Wp: int, profile: bool = False
+) -> np.ndarray:
+    """Initial state entering diagonal 0: H/E/F = NEG; the query-side
+    window(s) pre-filled with the first Wp letters / packed-profile words
+    (the band's clamp phase never re-inserts below the top slot), TW fills
+    progressively via per-step inserts."""
+    st = np.full((n_band_state(profile), B, Wp), NEG_INF, np.int32)
+    if profile:
+        st[4 : 4 + G_PROF] = np.asarray(qk)[:, :, :Wp]  # PWg[p] = ppk[g, p-1]
+    else:
+        st[4] = np.asarray(qk)[:, :Wp]  # QW[p] = q[p-1] (slot 0 = sentinel)
+    st[-1] = 0
     return st
+
+
+def build_packed_profile_np(qk: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """(G_PROF, B, L) i32 packed-nibble query profile over padded letters.
+
+    word[g][b, x] packs (table[qk[b,x], 8g+r] + NIBBLE_BIAS) << 4r for
+    r < 8; letters >= table size (the pad sentinel) pack all-zero nibbles
+    (score -NIBBLE_BIAS — value irrelevant: out-of-matrix cells are masked
+    to NEG in-kernel).  Host-side NumPy: exact, no einsum precision traps."""
+    A1 = int(table.shape[0])
+    t = np.asarray(table, np.int64)
+    if t.min() < -NIBBLE_BIAS or t.max() > 15 - NIBBLE_BIAS:
+        raise ValueError(
+            f"table range [{t.min()}, {t.max()}] exceeds the packed-nibble "
+            f"range [{-NIBBLE_BIAS}, {15 - NIBBLE_BIAS}]"
+        )
+    tpad = np.full((32, 32), -NIBBLE_BIAS, np.int64)
+    tpad[:A1, :A1] = t
+    shifts = (np.arange(8, dtype=np.int64) * 4)[None, None, :]
+    packed = ((tpad + NIBBLE_BIAS).reshape(32, G_PROF, 8) << shifts).sum(axis=2)
+    ppk = packed[np.asarray(qk, np.int64)]  # (B, L, G_PROF) int64
+    return (
+        ppk.transpose(2, 0, 1).astype(np.uint32).view(np.int32).copy()
+    )  # (G_PROF, B, L)
 
 
 @functools.partial(
@@ -234,6 +294,7 @@ def init_band_state(qk: np.ndarray, B: int, Wp: int) -> np.ndarray:
         "want_ckpt",
         "CK",
         "interpret",
+        "profile",
     ),
 )
 def band_fill_range(
@@ -260,6 +321,7 @@ def band_fill_range(
     want_ckpt,
     CK,
     interpret,
+    profile=False,
 ):
     """Fill anti-diagonals [k_start, k_end) resuming from state_in.
 
@@ -269,7 +331,8 @@ def band_fill_range(
       ckpts: (NC, N_STATE, B, Wp) state entering each CK-chunk;
       ptrs: (NCHUNK*CK, B, Wp) i8 packed pointers (dummy if !want_ptr).
     """
-    B = qk.shape[0]
+    B = qk.shape[1] if profile else qk.shape[0]
+    NS = n_band_state(profile)
     NSUB = 4
     span = _ceil_to(k_end - k_start, max(CK, NSUB))
     NCHUNK = span // CK
@@ -297,6 +360,7 @@ def band_fill_range(
         gap_extend=gap_extend,
         want_ptr=want_ptr,
         want_ckpt=want_ckpt,
+        profile=profile,
     )
 
     def cspec(shape):
@@ -304,15 +368,15 @@ def band_fill_range(
 
     out_shapes = [
         jax.ShapeDtypeStruct((B, Wp), jnp.int32),
-        jax.ShapeDtypeStruct((N_STATE, B, Wp), jnp.int32),
-        jax.ShapeDtypeStruct((NCHUNK, N_STATE, B, Wp), jnp.int32),
+        jax.ShapeDtypeStruct((NS, B, Wp), jnp.int32),
+        jax.ShapeDtypeStruct((NCHUNK, NS, B, Wp), jnp.int32),
         jax.ShapeDtypeStruct((NCHUNK * CK if want_ptr else 1, B, Wp), jnp.int8),
     ]
     out_specs = [
         cspec((B, Wp)),
-        cspec((N_STATE, B, Wp)),
+        cspec((NS, B, Wp)),
         pl.BlockSpec(
-            (1, N_STATE, B, Wp), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, NS, B, Wp), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         (
             pl.BlockSpec((CK, B, Wp), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
@@ -331,11 +395,11 @@ def band_fill_range(
             cspec((B, LANES)),
             cspec((B, LANES)),
             cspec((B, LANES)),
-            cspec((N_STATE, B, Wp)),
+            cspec((NS, B, Wp)),
         ],
         out_shape=out_shapes,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((B, Wp), jnp.int32) for _ in range(N_STATE)],
+        scratch_shapes=[pltpu.VMEM((B, Wp), jnp.int32) for _ in range(NS)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
     )(qk, tk, qlenc, tlenc, dloc, dhic, state_in)

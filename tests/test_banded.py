@@ -113,8 +113,50 @@ def test_banded_mixed_delta_bucket(rng):
         assert (res[b].score, res[b].cigar) == (ref.score, ref.cigar), b
 
 
-def test_banded_rejects_matrix_scoring(rng):
+@pytest.mark.parametrize(
+    "qlens,tlens,band,CK",
+    [
+        ([48, 48], [48, 48], 10, 32),  # square protein bucket
+        ([40, 56], [44, 50], 8, 16),  # mixed lengths + deltas
+        ([17], [19], 4, 8),  # tiny
+    ],
+)
+def test_banded_matrix_parity(rng, qlens, tlens, band, CK):
+    """BLOSUM62 banded path (packed-nibble profile) vs the oracle's banded
+    Gotoh — score + CIGAR, lifting round 1's scalar-only guard
+    (VERDICT.md item 10)."""
     sp = ScoringParams.blosum62()
+    B, n, m = len(qlens), max(qlens), max(tlens)
+    qs = np.zeros((B, n), np.int32)
+    ts = np.zeros((B, m), np.int32)
+    for b in range(B):
+        qs[b, : qlens[b]] = rng.integers(0, 20, qlens[b])
+        ts[b, : tlens[b]] = rng.integers(0, 20, tlens[b])
+    qlen, tlen = np.asarray(qlens), np.asarray(tlens)
+    res = banded_align_batch(qs, ts, qlen, tlen, sp, band, traceback=True, CK=CK)
+    for b in range(B):
+        ref = nw_affine(qs[b][: qlen[b]], ts[b][: tlen[b]], sp, band=band)
+        assert str(res[b]) == str(ref), (b, res[b], ref)
+
+
+def test_banded_matrix_score_only(rng):
+    sp = ScoringParams.blosum62()
+    q = rng.integers(0, 20, 64).astype(np.int32)
+    t = rng.integers(0, 20, 70).astype(np.int32)
+    res = banded_align_batch(
+        q[None], t[None], np.array([64]), np.array([70]), sp, band=12,
+        traceback=False, CK=32,
+    )
+    ref = nw_affine(q, t, sp, band=12)
+    assert res[0].score == ref.score
+
+
+def test_banded_rejects_wide_range_matrix(rng):
+    """Tables outside the packed-nibble score range still route to the
+    full-matrix wavefront kernel (NotImplementedError here)."""
+    wide = np.full((4, 4), -20, np.int32)
+    np.fill_diagonal(wide, 20)
+    sp = ScoringParams(gap_open=-5, gap_extend=-2, matrix=wide)
     qs, ts, qlen, tlen = _random_bucket(rng, [16], [16])
     with pytest.raises(NotImplementedError):
         banded_align_batch(qs, ts, qlen, tlen, sp, band=4)

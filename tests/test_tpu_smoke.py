@@ -112,3 +112,22 @@ def test_smoke_banded_traceback(rng):
     for b in range(2):
         ref = nw_affine(q[b], t[b], DNA_AFF, band=64)
         assert (res[b].score, res[b].cigar) == (ref.score, ref.cigar), b
+
+
+def test_smoke_banded_matrix_traceback(rng):
+    """BLOSUM62 banded kernel (packed-nibble profile windows): the packed
+    words ride int32 end-to-end (host NumPy packing, no einsum), but nibble
+    shift/mask legalization on-chip still needs value-level verification
+    (memory: interpret parity alone missed a bf16 trap in round 1)."""
+    from seqalib_tpu.models.banded import banded_align_batch
+
+    n = 256
+    q = rng.integers(0, 20, (2, n)).astype(np.int32)
+    t = q.copy()
+    idx = rng.choice(n, 12, replace=False)
+    t[:, idx] = (t[:, idx] + 1 + rng.integers(0, 19, (2, 12))) % 20
+    lens = np.full(2, n, np.int64)
+    res = banded_align_batch(q, t, lens, lens, BLOS, band=32, traceback=True)
+    for b in range(2):
+        ref = nw_affine(q[b], t[b], BLOS, band=32)
+        assert (res[b].score, res[b].cigar) == (ref.score, ref.cigar), b
