@@ -99,6 +99,14 @@ NIBBLE_BIAS = 4  # packed-profile bias; tables must fit [-4, 11]
 NEG_INF16 = -20000  # int16-mode -inf: loses every max, survives one gap step
 
 
+def fused_wr() -> int:
+    """Row window of the fused two-pass start recovery, a strip multiple.
+    Default 3*TI=384 covers p99.9 of 1kb local alignment spans (random
+    protein pairs measure max span 351 at L=1024); longer spans escalate
+    to the host path."""
+    return _ceil_to(int(_os.environ.get("SEQALIB_FUSED_WR", str(3 * TI))), TI)
+
+
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -140,6 +148,7 @@ def _strip_kernel(
     gmode: bool = False,
     emode: bool = False,
     dt16: bool = False,
+    fastbv: bool = False,
 ):
     it = iter(refs)
     q_ref = next(it)  # (8, TI) strip query letters (0-based strip rows)
@@ -178,6 +187,7 @@ def _strip_kernel(
     ivec = i0 + lane + 1
     ipack = ivec * stride
     irow_ok = ivec <= qlenv
+    KM = NB * LANES
     # global-mode boundary: H(i, 0) = [o +] i*e  (column-0 gap)
     gapvec = (
         (DT(gap_open) if affine else DT(0)) + ivec.astype(DT) * ee
@@ -217,7 +227,9 @@ def _strip_kernel(
             )
             sv = ((grp >> ((Wv32 & 7) * 4)) & 0xF) - NIBBLE_BIAS
             return sv.astype(DT)
-        sv = jnp.zeros((BSUB, LANES), jnp.int32)
+        # sentinel/out-of-alphabet target letters must score NEGATIVE (the
+        # fastbv decay argument relies on it); any constant <= -1 works
+        sv = jnp.full((BSUB, LANES), -64, jnp.int32)
         for a in range(A1):
             sv = jnp.where(Wv == a, prof_rows[a], sv)
         return sv.astype(DT)
@@ -306,13 +318,22 @@ def _strip_kernel(
             u = k - (k // LANES) * LANES
             ptr_ref[u, :, :] = ptrv.astype(jnp.int8)
 
-        jvec2 = k - lane
         if gmode:
             # capture the final cell H(qlen, tlen)
+            jvec2 = k - lane
             fin = (ivec == qlenv) & (jvec2 == tlenv)
             nxt["SC"] = jnp.where(fin, Hn, st["SC"])
+        elif fastbv:
+            # unmasked best tracking (see fastbv derivation above).  The
+            # key is the SCALAR s*KM + k (same for every lane; decoded
+            # host-side with the lane index via _decode_bk) — a splat
+            # select, no per-step vector add.
+            upd = Hn > st["BV"]
+            nxt["BV"] = jnp.where(upd, Hn, st["BV"])
+            nxt["BK"] = jnp.where(upd, s * KM + k, st["BK"])
         else:
             # best tracking (strict > keeps first max in (i, j) scan order)
+            jvec2 = k - lane
             valid = irow_ok & (jvec2 <= tlenv)
             if not lean:
                 valid = valid & (jvec2 >= 1)
@@ -489,9 +510,15 @@ def _build_profile_packed(qpad: jax.Array, table: jax.Array) -> jax.Array:
 
 
 def _build_profile_rows(qpad: jax.Array, table: jax.Array) -> jax.Array:
-    """(B, 32, n_pad) i32: prof[b, a, i] = table[qpad[b, i], a]."""
+    """(B, 32, n_pad) i32: prof[b, a, i] = table[qpad[b, i], a].
+
+    Out-of-table rows (the q-side pad sentinel) score -64 so paths through
+    padded rows strictly decay (fastbv soundness); -64 is exact in the
+    bfloat16 einsum below."""
     A1 = table.shape[0]
-    tpad = jnp.zeros((32, 32), jnp.int32).at[:A1, :A1].set(table.astype(jnp.int32))
+    tpad = jnp.full((32, 32), -64, jnp.int32).at[:A1, :A1].set(
+        table.astype(jnp.int32)
+    )
     qoh = jax.nn.one_hot(qpad, 32, dtype=jnp.bfloat16)
     prof = jnp.einsum("bia,ac->bci", qoh, tpad.astype(jnp.bfloat16))
     return prof.astype(jnp.int32)
@@ -554,6 +581,22 @@ def _strip_fill(
     qlenc = jnp.broadcast_to(qlen[:, None].astype(jnp.int32), (B, LANES))
     tlenc = jnp.broadcast_to(tlen[:, None].astype(jnp.int32), (B, LANES))
 
+    # fast best-tracking: when every move into the sentinel-padded region
+    # strictly decreases H (gap steps cost >= 1; sentinel substitution
+    # scores <= -1 in every scoring mode: packed nibble floor -4, profile
+    # row fill -64, scalar mismatch), cells outside the valid
+    # [1..qlen] x [1..tlen] box can never reach the valid max, so the
+    # per-step validity mask (4-5 hot-loop ops) is dropped entirely: the
+    # strict > update keeps the first (i, j)-scan-order max, which is
+    # always a valid cell.  Local zero-clamped invalid cells sit at 0 and
+    # 0 > BV(>=0 init) never fires.
+    fastbv = (
+        not gmode
+        and gap_extend <= -1
+        and ((gap_open + gap_extend <= -1) if affine else True)
+        and (profile or mismatch <= -1)
+    )
+
     kernel = functools.partial(
         _strip_kernel,
         BSUB=BSUB,
@@ -572,6 +615,7 @@ def _strip_fill(
         gmode=gmode,
         emode=emode,
         dt16=dt16,
+        fastbv=fastbv,
     )
     DT = jnp.int16 if dt16 else jnp.int32
 
@@ -649,6 +693,15 @@ def _strip_fill(
         ),
     )(*inputs)
     res = {"bv": outs[0], "bk": outs[1]}
+    if fastbv and not gmode:
+        # decode the kernel's scalar key s*KM + k into the canonical
+        # packed index i*(mq+1) + j (i = s*TI + lane + 1, j = k - lane)
+        KM = NB * LANES
+        lanev = jnp.arange(LANES, dtype=jnp.int32)[None, :]
+        bk = outs[1]
+        ivec = (bk // KM) * TI + lanev + 1
+        jvec = bk % KM - lanev
+        res["bk"] = ivec * (mq + 1) + jvec
     if want_ptr:
         res["P"] = outs[-1]
     return res
@@ -934,7 +987,7 @@ def strip_bucket(
             "%d-row window",
             int(fail.sum()),
             B0,
-            TI,
+            fused_wr(),
         )
         qs2, ts2 = _reverse_starts(
             q,
@@ -948,7 +1001,7 @@ def strip_bucket(
             affine=bool(affine),
             BSUB=BSUB,
             interpret=interpret,
-            Wq0=4 * TI,
+            Wq0=max(4 * TI, 2 * fused_wr()),
         )
         qs = np.where(fail, qs2, qs)
         ts = np.where(fail, ts2, ts)
@@ -1049,18 +1102,27 @@ def _strip_local_fused(
     A1,
     dt16,
     interpret,
-    WR=TI,
+    WR=None,
 ):
     """Fused two-pass local coords, fully inside jit: the end-only local
     fill, the canonical-end reduce, the reversed-prefix gathers, and the
-    row-windowed (WR rows) anchored reverse-extension fill.
+    windowed (WR rows x ~2*WR columns) anchored reverse-extension fill.
 
     Returns score/qe/te/qs/ts plus the extension max score2; a pair whose
-    alignment extends past WR query rows has score2 < score and must be
+    alignment extends past the window has score2 < score and must be
     escalated host-side (strip_bucket._reverse_starts).  One jit means the
     whole coords path is a single device program — the unit the mesh path
     shard_maps and the bench times.
+
+    The column clamp (~2*WR target columns) is sound for every realistic
+    scoring scheme: a start outside it but inside the WR-row window would
+    need an optimal alignment with > WR net deletions (gap cost
+    >= |gap_open| + WR*|gap_extend|), and any *score* shortfall from the
+    clamp is caught by the score2 != score escalation check.  Override the
+    row window with SEQALIB_FUSED_WR (rounded up to a strip multiple).
     """
+    if WR is None:
+        WR = fused_wr()
     kw = dict(
         BSUB=BSUB,
         mq=mq,
@@ -1081,31 +1143,44 @@ def _strip_local_fused(
     SENT_Q, SENT_T = A1, A1 + 1
     n_pad = qpad.shape[1]
     W2 = t2.shape[1]
+    WR = min(WR, n_pad)  # qe <= qlen <= n_pad: never wider than pass 1
     # reversed prefixes: row k <-> q[qe-1-k] = qpad[qe-1-k]; column
-    # x <-> t[te-x] = t2[te-x+1]
+    # x <-> t[te-x] = t2[te-x+1].  A reversed prefix is a CONTIGUOUS slice
+    # of the statically flipped array, so each pair needs one row-granular
+    # dynamic_slice instead of an element-granular gather (the
+    # take_along_axis form cost more than the entire pass-1 fill on TPU).
     karr = jnp.arange(WR, dtype=jnp.int32)[None, :]
-    idx = qe[:, None] - 1 - karr
-    qr = jnp.where(
-        idx >= 0,
-        jnp.take_along_axis(
-            qpad.astype(jnp.int32), jnp.clip(idx, 0, n_pad - 1), axis=1
-        ),
-        SENT_Q,
-    ).astype(qpad.dtype)
-    xarr = jnp.arange(W2, dtype=jnp.int32)[None, :]
-    tidx = te[:, None] - xarr + 1
+    B = qpad.shape[0]
+    # sentinel tail keeps every dynamic start in bounds (XLA would clamp
+    # out-of-bounds starts, silently shifting the slice)
+    qpadf = jnp.concatenate(
+        [jnp.flip(qpad, axis=1), jnp.full((B, WR), SENT_Q, qpad.dtype)], axis=1
+    )  # qpadf[b, y] = qpad[b, n_pad-1-y]
+    qr_raw = jax.vmap(
+        lambda row, start: jax.lax.dynamic_slice_in_dim(row, start, WR)
+    )(qpadf, n_pad - qe)
+    qr = jnp.where(karr < qe[:, None], qr_raw, SENT_Q).astype(qpad.dtype)
+    # clamped pass-2 target width: data columns 1..TWD plus the same
+    # 2-block slack pass 1 carries (t2 layout invariant)
+    W2r = min(W2, (_ceil_to(2 * WR, LANES) // LANES + 2) * LANES)
+    TWD = W2r - 2 * LANES
+    xarr = jnp.arange(W2r, dtype=jnp.int32)[None, :]
+    te2 = jnp.minimum(te, TWD)
+    t2f = jnp.concatenate(
+        [jnp.flip(t2, axis=1), jnp.full((B, W2r), SENT_T, t2.dtype)], axis=1
+    )  # t2f[b, y] = t2[b, W2-1-y]
+    # tr[b, x] = t2[b, te-x+1] = t2f[b, (W2-2-te) + x]
+    tr_raw = jax.vmap(
+        lambda row, start: jax.lax.dynamic_slice_in_dim(row, start, W2r)
+    )(t2f, W2 - 2 - te)
     tr = jnp.where(
-        (xarr >= 1) & (xarr <= te[:, None]),
-        jnp.take_along_axis(
-            t2.astype(jnp.int32), jnp.clip(tidx, 0, W2 - 1), axis=1
-        ),
-        SENT_T,
+        (xarr >= 1) & (xarr <= te2[:, None]), tr_raw, SENT_T
     ).astype(t2.dtype)
     r2 = _strip_fill(
         qr,
         tr,
         jnp.minimum(qe, WR),
-        te,
+        te2,
         table,
         emode=True,
         **kw,
