@@ -52,7 +52,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
-               match, mismatch, o, e):
+               match, mismatch, o, e, table=None):
     """One R x C tile of the Gotoh fill.
 
     qb: (R,) block query letters.  t: full padded target (replicated).
@@ -73,7 +73,10 @@ def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
         at_c1 = c == 1
         # target letter at global column j0 + c (streamed via lane roll)
         W = jnp.where(lane0, t[j0 + k + 1], jnp.roll(W, 1))
-        s_vec = jnp.where(qb == W, match, mismatch)
+        if table is None:
+            s_vec = jnp.where(qb == W, match, mismatch)
+        else:
+            s_vec = table[qb, W]  # gather: parity-grade on the XLA body
         up_H = jnp.where(lane0, H_top[jnp.minimum(k + 1, C)], jnp.roll(H1, 1))
         up_F = jnp.where(lane0, F_top[jnp.minimum(k, C - 1)], jnp.roll(F1, 1))
         diag_H = jnp.where(
@@ -92,7 +95,10 @@ def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
         Hcol_n = jnp.where(at_cC, H_new, Hcol_n)
         Ecol_n = jnp.where(at_cC, E_new, Ecol_n)
         jvec = j0 + c
-        hit = (ivec == n) & (jvec == m)
+        # own-column guard: lanes keep running past the tile edge (c > C,
+        # with clamped top-boundary reads), so only the tile that owns
+        # column m may capture cell (n, m)
+        hit = (ivec == n) & (jvec == m) & (c >= 1) & (c <= C)
         cap = jnp.maximum(cap, jnp.max(jnp.where(hit, H_new, NEG)))
         new_carry = (H_new, H1, E_new, F_new, W, Hcol_n, Ecol_n, cap)
         return new_carry, (H_new[lane_last], F_new[lane_last])
@@ -114,13 +120,54 @@ def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
     return bot_H[R - 1 :], bot_F[R - 1 :], Hcol_n, Ecol_n, cap
 
 
-def _pipeline_body(q, t, *, n, m, R, C, D, n_tiles, match, mismatch, o, e,
-                   axis=BAND_AXIS):
+def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
+                   mismatch, o, e, backend="xla", interpret=True,
+                   sp_sub=None, axis=BAND_AXIS):
     """Per-device shard_map body: scan over pipeline steps with ppermute."""
     d = jax.lax.axis_index(axis)
     i0 = d * R
     qb = jax.lax.dynamic_slice(q, (i0,), (R,))
     col0 = jnp.arange(C + 1, dtype=jnp.int32)
+
+    if backend == "pallas":
+        from ..ops.sp_tile_pallas import sp_tile
+
+        SUB = sp_sub if sp_sub else (R // 128 if R < 1024 else 8)
+        assert R % (SUB * 128) == 0, (R, SUB)
+        Ct1 = _ceil_to(C + 1, 128)
+        Ctp = _ceil_to(C + 1, 128)
+        qk = qb.reshape(R // 128, 128)
+
+        def tile_fn(j0, H_top, F_top, Hcol, Ecol, cap):
+            htop = jnp.zeros((1, Ct1), jnp.int32).at[0, : C + 1].set(H_top)
+            ftop = jnp.zeros((1, Ctp), jnp.int32).at[0, 1 : C + 1].set(F_top)
+            tk = jax.lax.dynamic_slice(t, (j0,), (Ctp,))[None, :]
+            meta = jnp.zeros((1, 128), jnp.int32)
+            meta = meta.at[0, 0].set(i0).at[0, 1].set(j0)
+            meta = meta.at[0, 2].set(n).at[0, 3].set(m).at[0, 4].set(cap)
+            hbot, fbot, hco, eco, capo = sp_tile(
+                qk,
+                tk,
+                htop,
+                ftop,
+                Hcol.reshape(R // 128, 128),
+                Ecol.reshape(R // 128, 128),
+                meta,
+                SUB=SUB,
+                C=C,
+                match=match,
+                mismatch=mismatch,
+                gap_open=o,
+                gap_extend=e,
+                interpret=interpret,
+            )
+            return (
+                hbot[0, 1 : C + 1],
+                fbot[0, 1 : C + 1],
+                hco.reshape(R),
+                eco.reshape(R),
+                capo[0, 0],
+            )
 
     def init_top(j0):
         # DP row 0: H(0, j) = o + j*e (H(0,0) = 0); F(0, j) = -inf
@@ -140,10 +187,16 @@ def _pipeline_body(q, t, *, n, m, R, C, D, n_tiles, match, mismatch, o, e,
         H0, F0 = init_top(j0)
         H_top = jnp.where(d == 0, H0, pkt[: C + 1])
         F_top = jnp.where(d == 0, F0, pkt[C + 1 :])
-        bot_H, bot_F, Hcol_n, Ecol_n, cap_n = _tile_scan(
-            qb, t, j0, H_top, F_top, Hcol, Ecol, cap,
-            C=C, i0=i0, n=n, m=m, match=match, mismatch=mismatch, o=o, e=e,
-        )
+        if backend == "pallas":
+            bot_H, bot_F, Hcol_n, Ecol_n, cap_n = tile_fn(
+                j0, H_top, F_top, Hcol, Ecol, cap
+            )
+        else:
+            bot_H, bot_F, Hcol_n, Ecol_n, cap_n = _tile_scan(
+                qb, t, j0, H_top, F_top, Hcol, Ecol, cap,
+                C=C, i0=i0, n=n, m=m, match=match, mismatch=mismatch, o=o, e=e,
+                table=table,
+            )
         # next device's top-row packet: corner H(i0+R, j0) = this tile's
         # left boundary bottom lane, then the tile's bottom H and F rows
         pkt_out = jnp.concatenate([Hcol[R - 1 :], bot_H, bot_F])
@@ -172,16 +225,29 @@ def make_band_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (BAND_AXIS,))
 
 
-def nw_affine_score_sp(q, t, sp, mesh: Mesh, C: int = 128) -> int:
+def nw_affine_score_sp(
+    q, t, sp, mesh: Mesh, C: int = 128, backend: str = "xla",
+    sp_sub: int = None,
+) -> int:
     """Global affine-gap alignment SCORE of one long pair, computed
     cooperatively by every device on ``mesh``'s 'band' axis.
 
-    Exact (full-matrix) Gotoh score, identical to oracle.nw_affine; scalar
-    match/mismatch scoring (the long-read domain).  q/t: 1-D int letter
-    codes.  Pipeline: row-blocks x column-tiles, one ppermute per step.
+    Exact (full-matrix) Gotoh score, identical to oracle.nw_affine.
+    Scoring: scalar match/mismatch (the long-read domain), or a
+    substitution matrix on the xla backend (per-cell gather, parity-grade;
+    the Pallas tile body would use the packed-nibble profile and is the
+    planned follow-up).  q/t: 1-D int letter codes.  Pipeline: row-blocks
+    x column-tiles, one ppermute per step.  backend "xla" = the lax.scan
+    tile body (compiles anywhere); "pallas" = the flat-diagonal tile
+    kernel (ops.sp_tile_pallas, SP v2), interpret-mode off-TPU.
     """
-    if sp.matrix is not None:
-        raise NotImplementedError("SP pipeline is match/mismatch scoring only")
+    if sp.matrix is not None and backend == "pallas":
+        raise NotImplementedError(
+            "SP Pallas tile body is match/mismatch scoring only; "
+            "use backend='xla' for matrix scoring"
+        )
+    import jax as _jax
+
     q = np.asarray(q)
     t = np.asarray(t)
     n, m = len(q), len(t)
@@ -191,11 +257,21 @@ def nw_affine_score_sp(q, t, sp, mesh: Mesh, C: int = 128) -> int:
         return sp.gap_open + max(n, m) * sp.gap_extend
     D = mesh.shape[BAND_AXIS]
     R = max(1, _ceil_to(n, D) // D)
+    if backend == "pallas":
+        # the tile kernel needs R = NS8 * 128 flat rows, strips of
+        # SUB * 128 (SUB = 8 once R reaches 1024; sp_sub overrides for
+        # small-scale multi-strip testing)
+        blk = (sp_sub or 8) * 128
+        R = _ceil_to(R, 128) if R <= blk and not sp_sub else _ceil_to(R, blk)
     n_tiles = max(1, _ceil_to(m, C) // C)
-    # pad: extra rows/cols never feed cell (n, m) (DP flows down/right)
+    # pad: extra rows/cols never feed cell (n, m) (DP flows down/right);
+    # pad letters must stay valid table indices in matrix mode
+    pad_letter = 0 if sp.matrix is not None else 4
     q_pad = np.full(D * R, 0, np.int32)
     q_pad[:n] = q
-    t_pad = np.full(n_tiles * C + C + 2, 4, np.int32)
+    t_pad = np.full(
+        n_tiles * C + max(C + 2, _ceil_to(C + 1, 128)), pad_letter, np.int32
+    )
     t_pad[1 : 1 + m] = t  # t_pad[x] = t[x - 1] (1-based column indexing)
 
     body = functools.partial(
@@ -203,13 +279,21 @@ def nw_affine_score_sp(q, t, sp, mesh: Mesh, C: int = 128) -> int:
         n=n, m=m, R=R, C=C, D=D, n_tiles=n_tiles,
         match=sp.match, mismatch=sp.mismatch,
         o=sp.gap_open, e=sp.gap_extend,
+        backend=backend,
+        interpret=_jax.devices()[0].platform != "tpu",
+        sp_sub=sp_sub,
     )
+    in_specs = (P(None), P(None))
+    args = [jnp.asarray(q_pad), jnp.asarray(t_pad)]
+    if sp.matrix is not None:
+        in_specs = (P(None), P(None), P(None, None))
+        args.append(jnp.asarray(sp.substitution_matrix(), jnp.int32))
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(None), P(None)),
+        in_specs=in_specs,
         out_specs=P(),
         check_vma=False,
     )
-    score = jax.jit(fn)(jnp.asarray(q_pad), jnp.asarray(t_pad))
+    score = jax.jit(fn)(*args)
     return int(score)
