@@ -46,9 +46,9 @@ def main():
     )
     from seqalib_tpu.parallel.dispatch import sentinel_table
 
-    B = int(os.environ.get("BENCH_B", "64"))
+    B = int(os.environ.get("BENCH_B", "128"))
     L = int(os.environ.get("BENCH_L", "1024"))
-    BSUB = int(os.environ.get("BENCH_BSUB", "64"))
+    BSUB = int(os.environ.get("BENCH_BSUB", "128"))
     BSUB = min(BSUB, B)
     B = -(-B // BSUB) * BSUB  # pad to a BSUB multiple: all grid work is real
     reps = int(os.environ.get("BENCH_REPS", "5"))
@@ -106,11 +106,21 @@ def main():
         acc_of = lambda out: out["bv"].sum()
 
     def chain(X):
+        # lax.scan, not an unrolled Python loop: the X=32 unrolled chain
+        # inlines 32 copies of the whole pipeline and takes tens of minutes
+        # to compile through the tunnel per program variant; the scan body
+        # compiles once and the carry keeps the X launches sequential
+        # (distinct rolled inputs per step so nothing is CSE'd)
         @jax.jit
         def many(q0):
-            acc = jnp.int32(0)
-            for i in range(X):
-                acc = acc + acc_of(fill(jnp.roll(q0, i, axis=0), *args[1:]))
+            def step(carry, _):
+                acc, qq = carry
+                acc = acc + acc_of(fill(qq, *args[1:]))
+                return (acc, jnp.roll(qq, 1, axis=0)), None
+
+            (acc, _), _ = jax.lax.scan(
+                step, (jnp.int32(0), q0), None, length=X
+            )
             return acc
 
         return many

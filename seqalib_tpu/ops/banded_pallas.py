@@ -53,10 +53,11 @@ NIBBLE_BIAS = 4  # packed-profile bias (strip_pallas.py convention)
 G_PROF = 4  # 32 letters / 8 nibbles per int32
 
 
-def n_band_state(profile: bool) -> int:
+def n_band_state(profile: bool, emode: bool = False) -> int:
     """State rows: H1, H2, E, F, then the sliding letter/profile windows
-    (QW scalar mode | PW0..PW3 profile mode), then TW last."""
-    return 4 + (G_PROF if profile else 1) + 1
+    (QW scalar mode | PW0..PW3 profile mode), then TW; extension mode
+    appends BV/BK argmax-tracking rows."""
+    return 4 + (G_PROF if profile else 1) + 1 + (2 if emode else 0)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -92,8 +93,9 @@ def _band_kernel(
     want_ptr: bool,
     want_ckpt: bool,
     profile: bool,
+    emode: bool,
 ):
-    NS = n_band_state(profile)
+    NS = n_band_state(profile, emode)
     g = pl.program_id(0)
     o, e = gap_open, gap_extend
     NEG = jnp.int32(NEG_INF)
@@ -134,8 +136,12 @@ def _band_kernel(
 
     def substep(k, st):
         H1, H2, E1, F1 = st[:4]
-        qws = list(st[4:-1])  # [QW] scalar mode | [PW0..PW3] profile mode
-        TW = st[-1]
+        if emode:
+            qws = list(st[4:-3])
+            TW, BV, BK = st[-3], st[-2], st[-1]
+        else:
+            qws = list(st[4:-1])  # [QW] scalar mode | [PW0..PW3] profile mode
+            TW = st[-1]
         live = k < K
 
         ih = ihat(k)
@@ -204,8 +210,18 @@ def _band_kernel(
         En = jnp.where(ok, En, NEG)
         Fn = jnp.where(ok, Fn, NEG)
 
-        fin = (k == (qlenv + tlenv)) & (ivec == qlenv) & live
-        score_ref[:] = jnp.where(fin, Hn, score_ref[:])
+        if emode:
+            # anchored-extension argmax: per band slot, strict > keeps the
+            # first k, which is canonical within a slot (i = ihat(k) + p is
+            # non-decreasing in k; equal i means smaller j); cross-slot
+            # canonicalization happens in the caller's packed-index reduce.
+            # BK stores k only — (i, j) are reconstructed from (k, p).
+            upd = Hn > BV
+            BV = jnp.where(upd, Hn, BV)
+            BK = jnp.where(upd, jnp.int32(k), BK)
+        else:
+            fin = (k == (qlenv + tlenv)) & (ivec == qlenv) & live
+            score_ref[:] = jnp.where(fin, Hn, score_ref[:])
 
         if want_ptr:
             # pack in int32 (Mosaic can't legalize shifts on int8 vectors)
@@ -216,6 +232,8 @@ def _band_kernel(
             )
             ptr_ref[k - k_start - g * CK, :, :] = pword.astype(jnp.int8)
 
+        if emode:
+            return (Hn, H1, En, Fn, *qws, TW, BV, BK)
         return (Hn, H1, En, Fn, *qws, TW)
 
     def group(gi, st):
@@ -295,6 +313,7 @@ def build_packed_profile_np(qk: np.ndarray, table: np.ndarray) -> np.ndarray:
         "CK",
         "interpret",
         "profile",
+        "emode",
     ),
 )
 def band_fill_range(
@@ -322,6 +341,7 @@ def band_fill_range(
     CK,
     interpret,
     profile=False,
+    emode=False,
 ):
     """Fill anti-diagonals [k_start, k_end) resuming from state_in.
 
@@ -332,8 +352,11 @@ def band_fill_range(
       ptrs: (NCHUNK*CK, B, Wp) i8 packed pointers (dummy if !want_ptr).
     """
     B = qk.shape[1] if profile else qk.shape[0]
-    NS = n_band_state(profile)
-    NSUB = 4
+    NS = n_band_state(profile, emode)
+    import os as _os
+
+    # substeps unrolled per fori iteration; must divide CK
+    NSUB = int(_os.environ.get("SEQALIB_BAND_NSUB", "4"))
     span = _ceil_to(k_end - k_start, max(CK, NSUB))
     NCHUNK = span // CK
     grid = (NCHUNK,)
@@ -361,6 +384,7 @@ def band_fill_range(
         want_ptr=want_ptr,
         want_ckpt=want_ckpt,
         profile=profile,
+        emode=emode,
     )
 
     def cspec(shape):

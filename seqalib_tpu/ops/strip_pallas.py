@@ -93,18 +93,20 @@ log = logging.getLogger("seqalib_tpu.strip")
 LANES = 128
 SUBLANES = 8
 TI = 128  # strip height == lane count
-# substeps unrolled per inner fori iteration (tunable for experiments)
-NSUB = int(_os.environ.get("SEQALIB_STRIP_NSUB", "8"))
+# substeps unrolled per inner fori iteration.  Round-2 sweep (fastbv carry
+# set, B=BSUB=128): NSUB 8/16/32/64 -> 53.9/56.9/59.3/58.0 GCUPS end-only;
+# NSUB=16 could not even compile with round 1's fatter carry.
+NSUB = int(_os.environ.get("SEQALIB_STRIP_NSUB", "32"))
 NIBBLE_BIAS = 4  # packed-profile bias; tables must fit [-4, 11]
 NEG_INF16 = -20000  # int16-mode -inf: loses every max, survives one gap step
 
 
 def fused_wr() -> int:
     """Row window of the fused two-pass start recovery, a strip multiple.
-    Default 3*TI=384 covers p99.9 of 1kb local alignment spans (random
-    protein pairs measure max span 351 at L=1024); longer spans escalate
-    to the host path."""
-    return _ceil_to(int(_os.environ.get("SEQALIB_FUSED_WR", str(3 * TI))), TI)
+    Default 4*TI=512: random 1kb BLOSUM62 protein pairs measure spans up
+    to 398 (128-pair bench batch, seed 0 — median 69, one pair past the
+    old 384 default); longer spans escalate to the host path."""
+    return _ceil_to(int(_os.environ.get("SEQALIB_FUSED_WR", str(4 * TI))), TI)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -149,6 +151,7 @@ def _strip_kernel(
     emode: bool = False,
     dt16: bool = False,
     fastbv: bool = False,
+    nsub: int = NSUB,
 ):
     it = iter(refs)
     q_ref = next(it)  # (8, TI) strip query letters (0-based strip rows)
@@ -373,16 +376,16 @@ def _strip_kernel(
 
         def group(gi, st_tuple):
             st = dict(zip(all_names, st_tuple))
-            for uu in range(NSUB):
-                st = substep(k0 + gi * NSUB + uu, st, lean)
+            for uu in range(nsub):
+                st = substep(k0 + gi * nsub + uu, st, lean)
             return tuple(st[n] for n in all_names)
 
         st_tuple = jax.lax.fori_loop(
-            0, (LANES - NSUB) // NSUB, group, tuple(st[n] for n in all_names)
+            0, (LANES - nsub) // nsub, group, tuple(st[n] for n in all_names)
         )
         st = dict(zip(all_names, st_tuple))
-        for uu in range(NSUB - 1):
-            st = substep(k0 + LANES - NSUB + uu, st, lean)
+        for uu in range(nsub - 1):
+            st = substep(k0 + LANES - nsub + uu, st, lean)
         flush(b, st)
         st = substep(k0 + LANES - 1, st, lean)
         return tuple(st[n] for n in all_names)
@@ -432,19 +435,19 @@ def _strip_kernel(
 
         def group(gi, t):
             st = dict(zip(all_names, t))
-            for uu in range(NSUB):
-                st = substep(k0 + gi * NSUB + uu, st, False)
+            for uu in range(nsub):
+                st = substep(k0 + gi * nsub + uu, st, False)
             return tuple(st[n] for n in all_names)
 
         t = jax.lax.fori_loop(
             0,
-            (LANES - NSUB) // NSUB,
+            (LANES - nsub) // nsub,
             group,
             tuple(st[n] for n in all_names),
         )
         st = dict(zip(all_names, t))
-        for uu in range(NSUB - 1):
-            st = substep(k0 + LANES - NSUB + uu, st, False)
+        for uu in range(nsub - 1):
+            st = substep(k0 + LANES - nsub + uu, st, False)
         flush(bgrid, st)
         st = substep(k0 + LANES - 1, st, False)
         for r, n in zip(state_scr, persist):
@@ -616,6 +619,11 @@ def _strip_fill(
         emode=emode,
         dt16=dt16,
         fastbv=fastbv,
+        # interpret mode (CPU tests) pins the unroll at 8: NSUB=32 inflates
+        # the traced HLO ~4x and XLA:CPU's JIT segfaults partway through a
+        # long pytest session (deterministic at ~80 compiled programs);
+        # the wide unroll only pays on real TPU hardware anyway
+        nsub=8 if interpret else NSUB,
     )
     DT = jnp.int16 if dt16 else jnp.int32
 
@@ -870,7 +878,9 @@ def strip_bucket(
     if BSUB is None:
         import os
 
-        BSUB = int(os.environ.get("SEQALIB_STRIP_BSUB", "32"))
+        # round-2 sweep: BSUB 32/64/128 -> 35.7/51.3-55.5/59.3 GCUPS
+        # (small batches still clamp to the padded batch size below)
+        BSUB = int(os.environ.get("SEQALIB_STRIP_BSUB", "128"))
     BSUB = max(SUBLANES, min(BSUB, _ceil_to(max(B0, SUBLANES), SUBLANES)))
     if want_tb and gmode:
         # the int8 pointer block's (BSUB, TI) trailing dims must respect
@@ -1176,16 +1186,145 @@ def _strip_local_fused(
     tr = jnp.where(
         (xarr >= 1) & (xarr <= te2[:, None]), tr_raw, SENT_T
     ).astype(t2.dtype)
-    r2 = _strip_fill(
-        qr,
-        tr,
-        jnp.minimum(qe, WR),
-        te2,
-        table,
-        emode=True,
-        **kw,
-    )
-    score2, ri, rj = _reduce_best_jnp(r2["bv"], r2["bk"], mq + 1)
+    # pass-2 engine: the banded extension kernel does O(span * BW) work
+    # (~10% of pass 1) vs the strip engine's O(WR * 2WR) (~30%); a start
+    # whose net gap exceeds BW misses the score and escalates, same as the
+    # window clamp.  Wide-range (non-packed) profiles stay on strip.
+    engine = _os.environ.get("SEQALIB_FUSED_PASS2", "banded")
+    use_banded = engine == "banded" and (not profile or packed)
+    if engine == "none":
+        # timing diagnostic ONLY: skip pass 2 (score2 := score disarms the
+        # escalation gate; starts are WRONG).  Isolates the glue cost
+        # (reversed-prefix extraction, profile rebuild) from the pass-2
+        # kernel cost when benchmarked against "banded"/"strip".
+        score2 = score
+        # data-dependent always-zero term keeps the glue un-DCE'd
+        ri = jnp.where(qr.sum(axis=1) + tr.sum(axis=1) < jnp.int32(-(1 << 30)),
+                       1, 0).astype(score.dtype)
+        rj = jnp.zeros_like(score)
+    elif use_banded:
+        from .banded_pallas import band_fill_range
+
+        BW = int(_os.environ.get("SEQALIB_FUSED_BW", "64"))
+        Wpb = _ceil_to((2 * BW + 1) // 2 + 2, LANES)
+        CKb = 128
+        Kp = _ceil_to(WR + min(TWD, WR + BW) + 1, CKb)
+        qwidth_b = _ceil_to((Kp - BW) // 2 + Wpb + 2, LANES) + LANES
+        twidth_b = _ceil_to(Kp + 2, LANES) + LANES
+        # 1-based letter arrays (banded convention: arr[:, x] = seq[x-1])
+        qkb = jnp.concatenate(
+            [
+                jnp.full((B, 1), SENT_Q, jnp.int32),
+                qr.astype(jnp.int32),
+                jnp.full((B, max(0, qwidth_b - 1 - WR)), SENT_Q, jnp.int32),
+            ],
+            axis=1,
+        )[:, :qwidth_b]
+        tkb = jnp.concatenate(
+            [
+                tr.astype(jnp.int32),
+                jnp.full((B, max(0, twidth_b - W2r)), SENT_T, jnp.int32),
+            ],
+            axis=1,
+        )[:, :twidth_b]
+        qlen2 = jnp.minimum(qe, WR).astype(jnp.int32)
+        te2b = jnp.minimum(te2, WR + BW).astype(jnp.int32)
+        NEGj = jnp.int32(NEG_INF)
+        if profile:
+            # the reversed-prefix profile is a flip+slice of the PASS-1
+            # profile: a packed word is a pure function of the letter, and
+            # _strip_fill builds profile(qpad) inside this same jit, so the
+            # build below CSEs with it — no second one-hot/einsum rebuild.
+            # Sentinel positions (k >= qe, and the 1-based column 0) take
+            # the all-zero word = the sentinel letter's own packed word.
+            prof_pad = _build_profile_packed(qpad, table)  # (B, G, n_pad)
+            proff = jnp.concatenate(
+                [
+                    jnp.flip(prof_pad, axis=2),
+                    jnp.zeros((B, 4, WR), prof_pad.dtype),
+                ],
+                axis=2,
+            )  # proff[b, g, y] = prof_pad[b, g, n_pad-1-y]
+            prof_qr = jax.vmap(
+                lambda rows, start: jax.lax.dynamic_slice_in_dim(
+                    rows, start, WR, axis=1
+                )
+            )(proff, n_pad - qe)  # (B, G, WR): word of qpad[qe-1-k]
+            prof_qr = jnp.where(karr[:, None, :] < qe[:, None, None], prof_qr, 0)
+            qin_b = jnp.concatenate(
+                [
+                    jnp.zeros((B, 4, 1), jnp.int32),
+                    prof_qr.astype(jnp.int32),
+                    jnp.zeros(
+                        (B, 4, max(0, qwidth_b - 1 - WR)), jnp.int32
+                    ),
+                ],
+                axis=2,
+            )[:, :, :qwidth_b]
+            qin_b = jnp.transpose(qin_b, (1, 0, 2))  # (G, B, qwidth_b)
+            qrows = qin_b[:, :, :Wpb]
+        else:
+            qin_b = qkb
+            qrows = qkb[None, :, :Wpb]
+        state0b = jnp.concatenate(
+            [
+                jnp.full((4, B, Wpb), NEGj),  # H1 H2 E F
+                qrows,  # letter/profile windows
+                jnp.zeros((1, B, Wpb), jnp.int32),  # TW
+                jnp.full((1, B, Wpb), NEGj),  # BV
+                jnp.zeros((1, B, Wpb), jnp.int32),  # BK
+            ],
+            axis=0,
+        )
+        _, st_out, _, _ = band_fill_range(
+            qin_b,
+            tkb,
+            qlen2,
+            te2b,
+            jnp.full((B,), -BW, jnp.int32),
+            jnp.full((B,), BW, jnp.int32),
+            state0b,
+            jnp.full((B, Wpb), NEGj),
+            k_start=0,
+            k_end=Kp,
+            K=Kp,
+            Wp=Wpb,
+            dlo=-BW,
+            dhi=BW,
+            match=match,
+            mismatch=mismatch,
+            gap_open=gap_open,
+            gap_extend=gap_extend,
+            want_ptr=False,
+            want_ckpt=False,
+            CK=CKb,
+            interpret=interpret,
+            profile=profile,
+            emode=True,
+        )
+        BVb, BKb = st_out[-2], st_out[-1]
+        # decode: slot p on diagonal k is cell i = ihat(k) + p, j = k - i
+        iv = jnp.maximum(0, (BKb - BW + 1) // 2) + jnp.arange(
+            Wpb, dtype=jnp.int32
+        )[None, :]
+        packedb = iv * (mq + 1) + (BKb - iv)
+        score2 = jnp.max(BVb, axis=1)
+        big = jnp.int32(np.iinfo(np.int32).max)
+        pb = jnp.min(jnp.where(BVb == score2[:, None], packedb, big), axis=1)
+        emptyb = score2 <= 0
+        ri = jnp.where(emptyb, 0, pb // (mq + 1))
+        rj = jnp.where(emptyb, 0, pb % (mq + 1))
+    else:
+        r2 = _strip_fill(
+            qr,
+            tr,
+            jnp.minimum(qe, WR),
+            te2,
+            table,
+            emode=True,
+            **kw,
+        )
+        score2, ri, rj = _reduce_best_jnp(r2["bv"], r2["bk"], mq + 1)
     pos = score > 0
     qs = jnp.where(pos, qe - ri, 0)
     ts = jnp.where(pos, te - rj, 0)

@@ -228,3 +228,29 @@ def test_strip_all_mismatch(rng):
         gap_extend=DNA_AFF.gap_extend,
     )
     assert out["score"][0] == 0 and out["qe"][0] == 0 and out["te"][0] == 0
+
+
+def test_strip_banded_pass2_escalation(rng):
+    """A local alignment whose net gap exceeds the banded pass-2 band
+    (SEQALIB_FUSED_BW=64) must escalate to the host start-recovery path
+    and still produce oracle-exact starts: target = query with a
+    100-letter insertion (net gap 100 > 64)."""
+    n = 160
+    q = rng.integers(0, 4, n).astype(np.int32)
+    ins = rng.integers(0, 4, 100).astype(np.int32)
+    t = np.concatenate([q[:80], ins, q[80:]]).astype(np.int32)
+    sp = ScoringParams(match=4, mismatch=-3, gap_open=-5, gap_extend=-1)
+    out = strip_bucket(
+        q[None, :],
+        t[None, :],
+        np.array([n], np.int32),
+        np.array([len(t)], np.int32),
+        sentinel_table(sp),
+        mode="local",
+        gap_open=sp.gap_open,
+        gap_extend=sp.gap_extend,
+    )
+    ref = sw_affine(q, t, sp)
+    got = (out["score"][0], out["qs"][0], out["qe"][0], out["ts"][0], out["te"][0])
+    want = (ref.score, ref.query_start, ref.query_end, ref.target_start, ref.target_end)
+    assert got == want, (got, want)
