@@ -232,8 +232,21 @@ def banded_align_batch(
 
     k_cur = i + j
     ci = int(k_cur.max()) // CK
+    # recompute pointer blocks in super-blocks of SB chunks per device
+    # call: the walk visits every chunk, and per-call dispatch overhead
+    # (~40ms through the remote tunnel) would otherwise dominate at 100kb
+    # (e.g. 780 calls for K=200k, CK=256).  SB is capped so the pointer
+    # block stays a modest HBM allocation (SB*CK*B*Wp int8).
+    import os as _os
+
+    sb_bytes = int(_os.environ.get("SEQALIB_BANDED_SB_BYTES", str(64 * 1024**2)))
+    SB = max(1, min(16, sb_bytes // max(1, CK * B * Wp)))
+    NC_ALL = _ceil_to(K, CK) // CK  # total chunks (letter widths cover these)
     while not done.all() and ci >= 0:
-        k0 = ci * CK
+        cg = (ci // SB) * SB  # super-block's first chunk
+        k0g = cg * CK
+        k1g = min(cg + SB, NC_ALL) * CK  # clamp: kernel loads past the
+        # padded diagonal range would run off the letter arrays
         _, _, _, ptrs = band_fill_range(
             qin,
             tk,
@@ -241,24 +254,26 @@ def banded_align_batch(
             tlen_j,
             dlo_j,
             dhi_j,
-            jnp.asarray(ckpts_h[ci]),
+            jnp.asarray(ckpts_h[cg]),
             score0,
-            k_start=k0,
-            k_end=k0 + CK,
+            k_start=k0g,
+            k_end=k1g,
             want_ptr=True,
             want_ckpt=False,
             **kw,
         )
-        P = np.asarray(ptrs)  # (CK, B, Wp)
-        # walk pairs while their current diagonal is inside this block
+        P = np.asarray(ptrs)  # (k1g - k0g, B, Wp)
+        k0 = k0g
+        KW = k1g - k0g
+        # walk pairs while their current diagonal is inside this super-block
         while True:
             k_cur = i + j
-            act_blk = (~done) & (k_cur >= k0) & (k_cur < k0 + CK)
+            act_blk = (~done) & (k_cur >= k0) & (k_cur < k0 + KW)
             if not act_blk.any():
                 break
             p_slot = i - ihat(k_cur)
             byte = np.where(
-                act_blk, P[np.clip(k_cur - k0, 0, CK - 1), barr, np.clip(p_slot, 0, P.shape[2] - 1)], 0
+                act_blk, P[np.clip(k_cur - k0, 0, KW - 1), barr, np.clip(p_slot, 0, P.shape[2] - 1)], 0
             ).astype(np.int32)
             ph = byte & 3
             ext_e = ((byte >> _EXT_E_BIT) & 1).astype(bool)
@@ -285,7 +300,7 @@ def banded_align_batch(
             )
             i = i - (act_m | act_i)
             j = j - (act_m | act_d)
-        ci -= 1
+        ci = cg - 1
 
     results = []
     ops_mat = (
