@@ -129,8 +129,10 @@ def _bench_setup(args, cfg, rng):
 def _bench_parity(res, qs, ts, sp, mode, band, tb, n_check):
     """Full-contract parity gate: score + coords (+ CIGAR when traceback)
     over n_check pairs (SURVEY.md §4.5; VERDICT.md round-1 item 4 — three
-    score-only pairs are not a gate)."""
-    from .oracle import align_oracle
+    score-only pairs are not a gate).  Uses the vectorized oracle twin
+    (oracle_fast, bit-identical by test) so 32x 1kb pairs gate in seconds
+    rather than tens of minutes."""
+    from .oracle_fast import align_oracle
 
     # banded long-read pairs are too large for the O(n*m)-loop oracle;
     # gate parity on same-path pairs truncated to oracle-feasible lengths
