@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 NEG = -(1 << 28)  # matches band_pipeline.NEG
+NIBBLE_BIAS = 4  # packed-nibble profile bias (strip_pallas.py convention)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -48,7 +49,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _sp_tile_kernel(
-    qk_ref,  # (NS8, 128) i32: row r of the device block = qk[r//128, r%128]
+    qk_ref,  # (NS8, 128) i32 letters | (G_PROF, NS8, 128) i32 packed profile
     tk_ref,  # (1, Ctp) i32 tile target letters: tk[0, x] = t[j0 + x - 1]
     htop_ref,  # (1, Ct1) i32: htop[0, x] = H(i0-1, j0 + x), x in 0..C
     ftop_ref,  # (1, Ctp) i32: ftop[0, x] = F(i0-1, j0 + x), x in 1..C
@@ -69,6 +70,7 @@ def _sp_tile_kernel(
     mismatch: int,
     gap_open: int,
     gap_extend: int,
+    profile: bool,
 ):
     s = pl.program_id(0)
     RB = SUB * LANES
@@ -127,8 +129,11 @@ def _sp_tile_kernel(
             return xl
         return jnp.where(lane == 0, pltpu.roll(xl, 1, axis=0), xl)
 
-    # strip-local letters and left boundary (SUB vregs each, loaded once)
-    qw = qk_ref[pl.ds(s * SUB, SUB), :]
+    # strip-local letters/profile and left boundary (loaded once)
+    if profile:
+        pw = [qk_ref[g, pl.ds(s * SUB, SUB), :] for g in range(4)]
+    else:
+        qw = qk_ref[pl.ds(s * SUB, SUB), :]
     hc0 = hcol_ref[pl.ds(s * SUB, SUB), :]
     ec0 = ecol_ref[pl.ds(s * SUB, SUB), :]
     hc0u = roll_down(hc0)  # Hcol0[f-1]; slot 0 replaced by the corner
@@ -144,7 +149,17 @@ def _sp_tile_kernel(
         W = roll_down(W)
         tlet = colload(tk_ref, k + 1, Ctp)
         W = jnp.where(slot0, tlet, W)
-        s_vec = jnp.where(qw == W, jnp.int32(match), jnp.int32(mismatch))
+        if profile:
+            # packed-nibble lookup keyed by the target letter (the banded
+            # kernel's technique): group select by W>>3, nibble by W&7
+            grp = jnp.where(
+                (W >> 3) == 0,
+                pw[0],
+                jnp.where((W >> 3) == 1, pw[1], jnp.where((W >> 3) == 2, pw[2], pw[3])),
+            )
+            s_vec = ((grp >> ((W & 7) * 4)) & 0xF) - NIBBLE_BIAS
+        else:
+            s_vec = jnp.where(qw == W, jnp.int32(match), jnp.int32(mismatch))
 
         top_u = rowload(hrow_scr, k + 1, LANES + Ct1)  # H(top-1, j0+k+1)
         top_f = rowload(frow_scr, k + 1, LANES + Ctp)  # F(top-1, j0+k+1)
@@ -246,6 +261,7 @@ def _sp_tile_kernel(
         "gap_open",
         "gap_extend",
         "interpret",
+        "profile",
     ),
 )
 def sp_tile(
@@ -264,14 +280,18 @@ def sp_tile(
     gap_open,
     gap_extend,
     interpret,
+    profile=False,
 ):
-    """One R x C Gotoh tile (R = qk.shape[0] * 128) of a single pair.
+    """One R x C Gotoh tile (R = NS8 * 128) of a single pair.
 
+    qk: (NS8, 128) i32 query letters, or with ``profile=True`` the
+    (4, NS8, 128) packed-nibble profile of the query letters (matrix
+    scoring keyed by target letter, as ops.banded_pallas).
     Returns (hbot (1, Ct1), fbot (1, Ctp), hcol_out (NS8, 128),
     ecol_out (NS8, 128), cap (1, 128)); hbot/fbot carry real values at
     positions 1..C.  See the module docstring for the boundary protocol.
     """
-    NS8 = qk.shape[0]
+    NS8 = qk.shape[1] if profile else qk.shape[0]
     assert NS8 % SUB == 0, (NS8, SUB)
     NSTRIP = NS8 // SUB
     Ctp = tk.shape[1]
@@ -285,6 +305,7 @@ def sp_tile(
         mismatch=mismatch,
         gap_open=gap_open,
         gap_extend=gap_extend,
+        profile=profile,
     )
 
     def cspec(shape):

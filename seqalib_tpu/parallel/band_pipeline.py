@@ -136,7 +136,15 @@ def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
         assert R % (SUB * 128) == 0, (R, SUB)
         Ct1 = _ceil_to(C + 1, 128)
         Ctp = _ceil_to(C + 1, 128)
-        qk = qb.reshape(R // 128, 128)
+        if table is not None:
+            from ..ops.strip_pallas import _build_profile_packed
+
+            # (1, 4, R) packed-nibble profile of the block's query letters
+            qk = _build_profile_packed(qb[None, :], table)[0].reshape(
+                4, R // 128, 128
+            )
+        else:
+            qk = qb.reshape(R // 128, 128)
 
         def tile_fn(j0, H_top, F_top, Hcol, Ecol, cap):
             htop = jnp.zeros((1, Ct1), jnp.int32).at[0, : C + 1].set(H_top)
@@ -160,6 +168,7 @@ def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
                 gap_open=o,
                 gap_extend=e,
                 interpret=interpret,
+                profile=table is not None,
             )
             return (
                 hbot[0, 1 : C + 1],
@@ -242,10 +251,15 @@ def nw_affine_score_sp(
     kernel (ops.sp_tile_pallas, SP v2), interpret-mode off-TPU.
     """
     if sp.matrix is not None and backend == "pallas":
-        raise NotImplementedError(
-            "SP Pallas tile body is match/mismatch scoring only; "
-            "use backend='xla' for matrix scoring"
-        )
+        from ..ops.strip_pallas import NIBBLE_BIAS
+
+        tbl = np.asarray(sp.substitution_matrix())
+        if tbl.min() < -NIBBLE_BIAS or tbl.max() > 15 - NIBBLE_BIAS:
+            raise NotImplementedError(
+                "SP Pallas tile matrix scoring needs a packed-nibble-range "
+                f"table ([{-NIBBLE_BIAS}, {15 - NIBBLE_BIAS}]); use "
+                "backend='xla' for wider tables"
+            )
     import jax as _jax
 
     q = np.asarray(q)

@@ -71,12 +71,23 @@ def test_sp_matrix_scoring(mesh):
     assert got == nw_affine(q, t, sp).score
 
 
-def test_sp_matrix_pallas_raises(mesh):
+def test_sp_matrix_pallas_tile(mesh):
+    """BLOSUM62 on the SP v2 Pallas tile: packed-nibble profile scoring
+    keyed by the streamed target letter (sp_tile profile mode)."""
+    rng = np.random.default_rng(9)
     sp = ScoringParams.blosum62()
-    q = np.zeros(8, np.int32)
-    t = np.zeros(8, np.int32)
+    q = rng.integers(0, 20, 270).astype(np.int32)
+    t = rng.integers(0, 20, 210).astype(np.int32)
+    got = nw_affine_score_sp(q, t, sp, mesh, C=64, backend="pallas", sp_sub=1)
+    assert got == nw_affine(q, t, sp).score
+
+
+def test_sp_matrix_pallas_wide_table_raises(mesh):
+    sp = ScoringParams(match=40, mismatch=-40, gap_open=-5, gap_extend=-2,
+                       matrix=np.full((4, 4), -40, np.int32))
     with pytest.raises(NotImplementedError):
-        nw_affine_score_sp(q, t, sp, mesh, backend="pallas")
+        nw_affine_score_sp(np.zeros(8, np.int32), np.zeros(8, np.int32),
+                           sp, mesh, backend="pallas")
 
 
 def test_sp_mutated_copy(mesh):
