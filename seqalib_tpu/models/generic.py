@@ -247,6 +247,138 @@ class HirschbergSA(SequenceAligner):
         return e1 + e2, sc1 + sc2
 
 
+class MyersMillerSA(SequenceAligner):
+    """Linear-space AFFINE-gap global alignment (Myers & Miller 1988) —
+    the affine upgrade of :class:`HirschbergSA` (round-1 deferral,
+    SURVEY.md §8).
+
+    Gap runs score ``gap_open + len * gap_extend`` (engine convention,
+    SURVEY.md §2.2; both <= 0); ``gap_open=0`` degenerates to Hirschberg.
+    The divide step computes forward (CC, DD) and reverse (RR, SS) score
+    vectors of the two halves, where DD/SS constrain the path to end in a
+    vertical gap at the midline; a straddling vertical gap is merged with
+    a single ``-gap_open`` credit and the recursion carries open-gap
+    boundary flags (tb/te) so sub-problems never double-charge an open.
+    O(min) memory, ~2x the fill work of the full matrix.
+
+    Optimal score is guaranteed (exhaustively tested vs the Gotoh
+    oracle); among co-optimal alignments the emitted column order may
+    differ from the engine's canonical DIAG > UP > LEFT walk.
+    """
+
+    def __init__(self, *args, gap_open: int = 0, gap_extend: int | None = None,
+                 **kw):
+        super().__init__(*args, **kw)
+        self.gap_open = gap_open
+        self.gap_extend = (
+            gap_extend if gap_extend is not None else self.scoring.gap_penalty
+        )
+
+    _NEG = -(1 << 50)
+
+    def _s(self, a, b) -> int:
+        ps = self._pair_score(a, b)
+        return self._NEG if ps is None else ps
+
+    # -- forward/reverse boundary-flagged score vectors ---------------------
+    def _vectors(self, A, B, tb):
+        """(CC, DD) after consuming all of A: CC[j] = best score of A vs
+        B[:j]; DD[j] = ditto constrained to end in a vertical gap (covering
+        A[-1]).  tb = open charge for a vertical gap starting at the top
+        boundary (0 if one is already open there)."""
+        o, e = self.gap_open, self.gap_extend
+        M = len(B)
+        CC = [0] + [o + j * e for j in range(1, M + 1)]
+        DD = [self._NEG] * (M + 1)
+        for i in range(1, len(A) + 1):
+            oo = tb if i == 1 else o  # top-boundary merge on the first row
+            prev0 = CC[0]
+            DD[0] = max(DD[0] + e, CC[0] + oo + e)
+            CC[0] = DD[0]
+            erun = self._NEG
+            a = A[i - 1]
+            for j in range(1, M + 1):
+                DD[j] = max(DD[j] + e, CC[j] + oo + e)
+                erun = max(erun + e, CC[j - 1] + o + e)
+                diag = prev0 + self._s(a, B[j - 1])
+                prev0 = CC[j]
+                CC[j] = max(diag, DD[j], erun)
+        return CC, DD
+
+    def _gap_entries(self, seq, vertical):
+        if vertical:
+            return [AlignedEntry(x, self.blank, False) for x in seq]
+        return [AlignedEntry(self.blank, x, False) for x in seq]
+
+    def _diff(self, A, B, tb, te) -> List[AlignedEntry]:
+        o, e = self.gap_open, self.gap_extend
+        N, M = len(A), len(B)
+        if N == 0:
+            return self._gap_entries(B, vertical=False)
+        if M == 0:
+            # one vertical gap, open merged with the cheaper boundary
+            return self._gap_entries(A, vertical=True)
+        if N == 1:
+            # best single-row layout: delete A[0] + insert B as one run,
+            # or align A[0] with some B[j] between two insert runs
+            best_v = (max(tb, te) + e) + (o + M * e)
+            best_j, best_s = None, None
+            for j in range(M):
+                v = (
+                    (o + j * e if j > 0 else 0)
+                    + self._s(A[0], B[j])
+                    + (o + (M - 1 - j) * e if j < M - 1 else 0)
+                )
+                if best_s is None or v > best_s:
+                    best_s, best_j = v, j
+            if best_s is not None and best_s >= best_v:
+                j = best_j
+                return (
+                    self._gap_entries(B[:j], False)
+                    + [AlignedEntry(A[0], B[j], self.match_fn(A[0], B[j]))]
+                    + self._gap_entries(B[j + 1 :], False)
+                )
+            return self._gap_entries(A, True) + self._gap_entries(B, False)
+        mid = N // 2
+        CCf, DDf = self._vectors(A[:mid], B, tb)
+        CCr, DDr = self._vectors(A[mid:][::-1], B[::-1], te)
+        best, split, straddle = None, 0, False
+        for j in range(M + 1):
+            c1 = CCf[j] + CCr[M - j]
+            c2 = DDf[j] + DDr[M - j] - o  # merged straddling vertical gap
+            if best is None or c1 > best:
+                best, split, straddle = c1, j, False
+            if c2 > best:
+                best, split, straddle = c2, j, True
+        if straddle:
+            return (
+                self._diff(A[: mid - 1], B[:split], tb, 0)
+                + self._gap_entries(A[mid - 1 : mid + 1], True)
+                + self._diff(A[mid + 1 :], B[split:], 0, te)
+            )
+        return self._diff(A[:mid], B[:split], tb, o) + self._diff(
+            A[mid:], B[split:], o, te
+        )
+
+    def get_alignment(self, s1, s2) -> AlignedSequence:
+        ents = self._diff(list(s1), list(s2), self.gap_open, self.gap_open)
+        return AlignedSequence(ents, self._score_entries(ents), self.blank)
+
+    def _score_entries(self, ents) -> int:
+        """Affine re-scoring of an emitted alignment (engine convention)."""
+        o, e = self.gap_open, self.gap_extend
+        total, run = 0, None  # run: 'I' | 'D' | None
+        for ent in ents:
+            if ent.a is not self.blank and ent.b is not self.blank:
+                total += self._s(ent.a, ent.b)
+                run = None
+            else:
+                op = "I" if ent.b is self.blank else "D"
+                total += e if run == op else o + e
+                run = op
+        return total
+
+
 class FOGSAA(SequenceAligner):
     """Branch-and-bound optimal global alignment (reference FOGSAA.h,
     SURVEY.md §2.1: "priority-queue expansion").

@@ -134,3 +134,47 @@ def test_aligned_sequence_container():
     assert len(res) == 2
     assert all(e.is_match for e in res)
     assert res.cigar() == "2M"
+
+
+def test_myers_miller_matches_gotoh_oracle():
+    """Linear-space affine global alignment: optimal score must equal the
+    full-matrix Gotoh oracle on randomized pairs, and the emitted columns
+    must be a valid alignment whose re-score equals the reported score."""
+    from seqalib_tpu.models.generic import MyersMillerSA
+    from seqalib_tpu.oracle import nw_affine
+
+    rng = np.random.default_rng(0)
+    sc = ScoringSystem(gap_penalty=-1, match_profit=3, mismatch_penalty=-2)
+    for o, e in [(-5, -1), (-3, -2), (0, -2), (-11, -1)]:
+        sa = MyersMillerSA(sc, gap_open=o, gap_extend=e)
+        sp = ScoringParams(match=3, mismatch=-2, gap_open=o, gap_extend=e)
+        for _ in range(12):
+            n = int(rng.integers(0, 40))
+            m = int(rng.integers(0, 40))
+            q = rng.integers(0, 4, n)
+            t = rng.integers(0, 4, m)
+            got = sa.get_alignment(list(q), list(t))
+            want = nw_affine(q, t, sp)
+            assert got.score == want.score, (o, e, n, m, got.score, want.score)
+            # validity: columns consume q and t exactly, in order
+            qa = [ent.a for ent in got if ent.a is not None]
+            ta = [ent.b for ent in got if ent.b is not None]
+            assert qa == list(q) and ta == list(t)
+
+
+def test_myers_miller_long_gappy_pair():
+    """A pair whose optimum is one long straddling deletion (the case the
+    midline gap-merge credit exists for)."""
+    from seqalib_tpu.models.generic import MyersMillerSA
+    from seqalib_tpu.oracle import nw_affine
+
+    rng = np.random.default_rng(7)
+    core = rng.integers(0, 4, 60)
+    ins = rng.integers(0, 4, 31)
+    q = np.concatenate([core[:30], ins, core[30:]])
+    t = core
+    sc = ScoringSystem(match_profit=2, mismatch_penalty=-3)
+    sa = MyersMillerSA(sc, gap_open=-8, gap_extend=-1)
+    sp = ScoringParams(match=2, mismatch=-3, gap_open=-8, gap_extend=-1)
+    got = sa.get_alignment(list(q), list(t))
+    assert got.score == nw_affine(q, t, sp).score
