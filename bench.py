@@ -134,6 +134,14 @@ def main():
             ts.append(time.perf_counter() - t0)
         return statistics.median(ts)
 
+    trace_dir = os.environ.get("BENCH_TRACE")
+    if trace_dir:
+        # profiler wrap (SURVEY.md §5 tracing): one short traced chain
+        import jax.profiler
+
+        with jax.profiler.trace(trace_dir):
+            int(chain(X1)(args[0]))
+
     t1, t2_ = timed(chain(X1)), timed(chain(X2))
     per_call = (t2_ - t1) / (X2 - X1)
     gcups = B * L * L / per_call / 1e9
