@@ -58,3 +58,29 @@ def test_all_vs_all_sharded(rng):
         reads, refs, scoring=SP, backend="xla", mesh=make_pair_mesh()
     )
     _assert_matches(out, reads, refs)
+
+
+def test_all_vs_all_resume(rng, tmp_path, monkeypatch):
+    """Chunk-shard checkpoint/resume (SURVEY.md §5): a rerun with the same
+    inputs loads finished shards and never realigns them."""
+    sp = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
+    reads = [rng.integers(0, 4, 24).astype(np.uint8) for _ in range(5)]
+    refs = [rng.integers(0, 4, 40).astype(np.uint8) for _ in range(3)]
+    d = str(tmp_path / "shards")
+    base = sa.align_all_vs_all(reads, refs, scoring=sp, backend="xla",
+                               chunk_pairs=4)
+    first = sa.align_all_vs_all(reads, refs, scoring=sp, backend="xla",
+                                chunk_pairs=4, resume_dir=d)
+    for f in base:
+        assert np.array_equal(base[f], first[f])
+
+    import seqalib_tpu.api as api
+
+    def boom(*a, **k):
+        raise AssertionError("resume must not realign finished chunks")
+
+    monkeypatch.setattr(api, "align_batch", boom)
+    second = sa.align_all_vs_all(reads, refs, scoring=sp, backend="xla",
+                                 chunk_pairs=4, resume_dir=d)
+    for f in base:
+        assert np.array_equal(base[f], second[f])
