@@ -226,6 +226,12 @@ def banded_align_batch(
     done = np.zeros(B, bool)
     barr = np.arange(B)
     ops_rev_cols: List[np.ndarray] = []
+    # native walker: per-pair independent C++ walk with fused RLE; the
+    # NumPy path below walks all pairs in lockstep (every pair pays the
+    # longest pair's step count) and is the no-toolchain fallback
+    from .. import native as _native
+
+    nwalk = _native.BandedWalk.create(i, j, cap=int((qlen + tlen).max()) + 2)
 
     def ihat(k):
         return np.maximum(0, (k - dhi + 1) // 2)
@@ -265,6 +271,13 @@ def banded_align_batch(
         P = np.asarray(ptrs)  # (k1g - k0g, B, Wp)
         k0 = k0g
         KW = k1g - k0g
+        if nwalk is not None:
+            nwalk.walk_block(P, k0, dhi)
+            done = nwalk.done.astype(bool)
+            i = nwalk.i
+            j = nwalk.j
+            ci = cg - 1
+            continue
         # walk pairs while their current diagonal is inside this super-block
         while True:
             k_cur = i + j
@@ -303,6 +316,14 @@ def banded_align_batch(
         ci = cg - 1
 
     results = []
+    if nwalk is not None:
+        cigars = nwalk.cigars()
+        return [
+            AlignResult(
+                int(scores[b]), 0, int(qlen[b]), 0, int(tlen[b]), cigars[b]
+            )
+            for b in range(B)
+        ]
     ops_mat = (
         np.stack(ops_rev_cols, axis=1) if ops_rev_cols else np.zeros((B, 0), np.uint8)
     )

@@ -130,6 +130,23 @@ def _load() -> Optional[ctypes.CDLL]:
         _I64P,  # fi, fj
     ]
     lib.sq_walk_strip.restype = None
+    lib.sq_walk_banded.argtypes = [
+        _I8P,  # P (KW, B, Wp)
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,  # KW, B, Wp
+        ctypes.c_int64,
+        ctypes.c_int64,  # k0, dhi
+        _I64P,
+        _I64P,  # i, j (in-out)
+        _U8P,
+        _U8P,  # st, done (in-out)
+        ctypes.c_int64,  # cap
+        _U8P,
+        _I32P,
+        _I32P,  # run_ops, run_cnts, nruns (in-out across blocks)
+    ]
+    lib.sq_walk_banded.restype = None
     _lib = lib
     return _lib
 
@@ -219,6 +236,46 @@ def walk_strip_to_cigars(
         cap, run_ops, run_cnts, nruns, fi, fj,
     )
     return _runs_to_cigars(run_ops, run_cnts, nruns, reverse=True), fi, fj
+
+
+class BandedWalk:
+    """Stateful banded traceback walker (models/banded.py pass 2): one
+    instance walks a whole batch across super-block calls, carrying
+    (i, j, state, done) and the per-pair run buffers in C++-visible
+    arrays.  Returns None from ``create`` when the native library is
+    unavailable (callers keep the NumPy lockstep walk)."""
+
+    @staticmethod
+    def create(i, j, cap: int):
+        if _load() is None:
+            return None
+        return BandedWalk(i, j, cap)
+
+    def __init__(self, i, j, cap: int):
+        B = len(i)
+        self.i = np.ascontiguousarray(i, np.int64).copy()
+        self.j = np.ascontiguousarray(j, np.int64).copy()
+        self.st = np.zeros(B, np.uint8)
+        self.done = np.zeros(B, np.uint8)
+        self.cap = int(cap)
+        self.run_ops = np.zeros((B, self.cap), np.uint8)
+        self.run_cnts = np.zeros((B, self.cap), np.int32)
+        self.nruns = np.zeros(B, np.int32)
+
+    def walk_block(self, P: np.ndarray, k0: int, dhi: int) -> None:
+        P = np.ascontiguousarray(P, np.int8)
+        KW, B, Wp = P.shape
+        _load().sq_walk_banded(
+            P, KW, B, Wp, int(k0), int(dhi), self.i, self.j, self.st,
+            self.done, self.cap, self.run_ops, self.run_cnts, self.nruns,
+        )
+
+    def all_done(self) -> bool:
+        return bool(self.done.all())
+
+    def cigars(self) -> List[str]:
+        return _runs_to_cigars(self.run_ops, self.run_cnts, self.nruns,
+                               reverse=True)
 
 
 def ops_rows_to_cigars(ops: np.ndarray) -> Optional[List[str]]:

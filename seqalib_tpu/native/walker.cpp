@@ -209,6 +209,72 @@ void sq_walk_strip(const int8_t* P, int64_t GB, int64_t S, int64_t K,
   }
 }
 
+// Banded checkpointed-traceback block walk (models/banded.py pass 2).
+// P: (KW, B, Wp) int8 packed pointers for anti-diagonals [k0, k0+KW);
+// band slot p = i - ihat(k), ihat(k) = max(0, floor((k - dhi + 1) / 2)).
+// ii/jj/st/done persist ACROSS super-block calls (the walk spans many
+// blocks, last to first), as do the run buffers: push_run merges a run
+// that continues over a block boundary.  st: 0=H 1=E 2=D-run... (matches
+// models/banded.py ST_H/ST_E/ST_F = 0/1/2).
+void sq_walk_banded(const int8_t* P, int64_t KW, int64_t B, int64_t Wp,
+                    int64_t k0, int64_t dhi, int64_t* ii, int64_t* jj,
+                    uint8_t* st, uint8_t* done, int64_t cap,
+                    uint8_t* run_ops, int32_t* run_cnts, int32_t* nruns) {
+  constexpr int ST_H = 0, ST_E = 1, ST_F = 2;
+  for (int64_t b = 0; b < B; ++b) {
+    if (done[b]) continue;
+    int64_t i = ii[b], j = jj[b];
+    int s = st[b];
+    int32_t nr = nruns[b];
+    uint8_t* ro = run_ops + b * cap;
+    int32_t* rc = run_cnts + b * cap;
+    while (true) {
+      const int64_t k = i + j;
+      if (k < k0 || k >= k0 + KW) break;  // next (earlier) block's turn
+      const int64_t num = k - dhi + 1;
+      const int64_t ih = num > 0 ? num / 2 : 0;
+      int64_t p = i - ih;
+      if (p < 0) p = 0;
+      if (p >= Wp) p = Wp - 1;
+      const int byte = P[(k - k0) * B * Wp + b * Wp + p];
+      const int ph = byte & 3;
+      const bool ee = (byte >> 2) & 1;
+      const bool ef = (byte >> 3) & 1;
+      if (s == ST_H) {
+        if (ph == PTR_STOP) {
+          done[b] = 1;
+          break;
+        }
+        if (ph == PTR_DIAG) {
+          push_run(OP_M, ro, rc, nr);
+          --i;
+          --j;
+        } else if (ph == PTR_UP) {
+          push_run(OP_I, ro, rc, nr);
+          s = ef ? ST_F : ST_H;
+          --i;
+        } else {
+          push_run(OP_D, ro, rc, nr);
+          s = ee ? ST_E : ST_H;
+          --j;
+        }
+      } else if (s == ST_F) {
+        push_run(OP_I, ro, rc, nr);
+        s = ef ? ST_F : ST_H;
+        --i;
+      } else {  // ST_E
+        push_run(OP_D, ro, rc, nr);
+        s = ee ? ST_E : ST_H;
+        --j;
+      }
+    }
+    ii[b] = i;
+    jj[b] = j;
+    st[b] = static_cast<uint8_t>(s);
+    nruns[b] = nr;
+  }
+}
+
 // Batch RLE of padded op rows (ops: (B, L) uint8, 255 = padding) in the
 // given order; used to accelerate utils.cigar.ops_batch_to_cigars.
 void sq_rle(const uint8_t* ops, int64_t B, int64_t L, int64_t cap,
