@@ -93,13 +93,23 @@ def main():
     )
 
     if want_starts:
-        fill = functools.partial(_strip_local_fused, **kw)
+        from seqalib_tpu.ops.strip_pallas import fused_wr
+
+        fill = functools.partial(
+            _strip_local_fused,
+            **kw,
+            WR=fused_wr(),
+            pass2=os.environ.get("SEQALIB_FUSED_PASS2", "banded"),
+            bw=int(os.environ.get("SEQALIB_FUSED_BW", "64")),
+        )
         acc_of = lambda out: out["score"].sum() + out["qs"].sum() + out["ts"].sum()
         # parity gate on the timed kernel: the fused pass-2 window must
         # hold (escalation would fall to the slower host path and the
         # measured number would not be the shipped number)
         chk = jax.jit(fill)(*args)
-        n_esc = int((np.asarray(chk["score2"]) != np.asarray(chk["score"])).sum())
+        sc = np.asarray(chk["score"])
+        # same guard as strip_bucket: score<=0 pairs never ran pass 2
+        n_esc = int(((np.asarray(chk["score2"]) != sc) & (sc > 0)).sum())
         assert n_esc == 0, f"{n_esc} pairs escalated past the fused window"
     else:
         fill = functools.partial(_strip_fill, **kw)

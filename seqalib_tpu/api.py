@@ -97,6 +97,22 @@ def align_batch(
     )
 
 
+def _avall_key(qs, rs, chunk_pairs: int) -> str:
+    """Content key for resume shards: inputs + chunking must match."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str((len(qs), len(rs), chunk_pairs)).encode())
+    for s in qs:
+        h.update(s.tobytes())
+        h.update(b"|")
+    h.update(b"#")
+    for s in rs:
+        h.update(s.tobytes())
+        h.update(b"|")
+    return h.hexdigest()
+
+
 def align_all_vs_all(
     queries: Sequence,
     references: Sequence,
@@ -136,8 +152,10 @@ def align_all_vs_all(
     nq, nr = len(qs), len(rs)
     fields = ("score", "qs", "qe", "ts", "te")
     out = {f: np.zeros((nq, nr), np.int32) for f in fields}
+    key = ""
     if resume_dir is not None:
         os.makedirs(resume_dir, exist_ok=True)
+        key = _avall_key(qs, rs, chunk_pairs)
 
     # the (i, j) product is streamed lazily: at config-5 scale (10k x 1k =
     # 10M pairs) materializing the index list up front stalls in pure
@@ -155,16 +173,18 @@ def align_all_vs_all(
             else None
         )
         ci += 1
+        ii = np.fromiter((i for i, _ in chunk), np.int64, len(chunk))
+        jj = np.fromiter((j for _, j in chunk), np.int64, len(chunk))
         if shard is not None and os.path.exists(shard):
             vals = np.load(shard)
-            if int(vals["n"]) == len(chunk):
+            kv = str(vals["key"]) if "key" in vals.files else ""
+            if int(vals["n"]) == len(chunk) and kv == key:
                 for f in fields:
-                    arr = vals[f]
-                    for k, (i, j) in enumerate(chunk):
-                        out[f][i, j] = arr[k]
+                    out[f][ii, jj] = vals[f]
                 resumed += 1
                 continue
-            log.warning("resume shard %s has stale pair count; recomputing", shard)
+            log.warning("resume shard %s is stale (inputs or chunking "
+                        "changed); recomputing", shard)
         res = align_batch(
             [qs[i] for i, _ in chunk],
             [rs[j] for _, j in chunk],
@@ -174,23 +194,18 @@ def align_all_vs_all(
             traceback=False,
             mesh=mesh,
         )
-        for (i, j), r in zip(chunk, res):
-            out["score"][i, j] = r.score
-            out["qs"][i, j] = r.query_start
-            out["qe"][i, j] = r.query_end
-            out["ts"][i, j] = r.target_start
-            out["te"][i, j] = r.target_end
+        vals = {
+            "score": np.array([r.score for r in res], np.int32),
+            "qs": np.array([r.query_start for r in res], np.int32),
+            "qe": np.array([r.query_end for r in res], np.int32),
+            "ts": np.array([r.target_start for r in res], np.int32),
+            "te": np.array([r.target_end for r in res], np.int32),
+        }
+        for f in fields:
+            out[f][ii, jj] = vals[f]
         if shard is not None:
-            vals = {
-                "score": np.array([r.score for r in res], np.int32),
-                "qs": np.array([r.query_start for r in res], np.int32),
-                "qe": np.array([r.query_end for r in res], np.int32),
-                "ts": np.array([r.target_start for r in res], np.int32),
-                "te": np.array([r.target_end for r in res], np.int32),
-                "n": np.int64(len(res)),
-            }
             tmp = shard + ".tmp.npz"
-            np.savez(tmp, **vals)
+            np.savez(tmp, n=np.int64(len(res)), key=key, **vals)
             os.replace(tmp, shard)
     if resumed:
         log.info("align_all_vs_all resumed %d finished chunk shards", resumed)

@@ -126,7 +126,7 @@ def _bench_setup(args, cfg, rng):
     return sp, qs, ts, run, mode, band, tb
 
 
-def _bench_parity(res, qs, ts, sp, mode, band, tb, n_check):
+def _bench_parity(res, qs, ts, sp, mode, band, tb, n_check, backend="pallas"):
     """Full-contract parity gate: score + coords (+ CIGAR when traceback)
     over n_check pairs (SURVEY.md §4.5; VERDICT.md round-1 item 4 — three
     score-only pairs are not a gate).  Uses the vectorized oracle twin
@@ -142,7 +142,7 @@ def _bench_parity(res, qs, ts, sp, mode, band, tb, n_check):
         qs = [q[:1024] for q in qs[:n_check]]
         ts = [t[: 1024 + band // 2] for t in ts[:n_check]]
         res = align_batch(
-            qs, ts, scoring=sp, mode=mode, band=band, backend="pallas"
+            qs, ts, scoring=sp, mode=mode, band=band, backend=backend
         )
     bad = 0
     for b in range(min(n_check, len(qs))):
@@ -191,7 +191,10 @@ def _bench_one(args, cfg) -> dict:
         "example": str(res[0]),
     }
     if args.parity_check:
-        bad = _bench_parity(res, qs, ts, sp, mode, band, tb, args.parity_pairs)
+        bad = _bench_parity(
+            res, qs, ts, sp, mode, band, tb, args.parity_pairs,
+            backend=args.backend,
+        )
         out["parity_pairs"] = min(args.parity_pairs, len(qs))
         out["parity_ok"] = bad == 0
         if bad:

@@ -23,7 +23,10 @@ log = logging.getLogger("seqalib_tpu.native")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "walker.cpp")
-_LIB_NAME = "_walker.so"
+# version the cache name with the exported-symbol set: the cache dir is
+# shared across checkouts, and an older build with a newer mtime would
+# otherwise load without the newer symbols
+_LIB_NAME = "_walker_v2.so"
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
@@ -80,6 +83,18 @@ def _load() -> Optional[ctypes.CDLL]:
     except OSError as exc:
         log.warning("native walker load failed (%s); using NumPy fallback", exc)
         return None
+    try:
+        _bind(lib)
+    except AttributeError as exc:
+        # a stale cached .so lacking a newer symbol must degrade to the
+        # NumPy fallback, not crash every native caller
+        log.warning("native walker symbols missing (%s); using NumPy fallback", exc)
+        return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib) -> None:
     walk_sig = [
         _I8P,  # P
         ctypes.c_int64,
@@ -147,8 +162,6 @@ def _load() -> Optional[ctypes.CDLL]:
         _I32P,  # run_ops, run_cnts, nruns (in-out across blocks)
     ]
     lib.sq_walk_banded.restype = None
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:

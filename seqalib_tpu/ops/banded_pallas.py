@@ -355,8 +355,12 @@ def band_fill_range(
     NS = n_band_state(profile, emode)
     import os as _os
 
-    # substeps unrolled per fori iteration; must divide CK
+    # substeps unrolled per fori iteration.  NOTE: read at trace time and
+    # NOT part of the jit cache key — set it per process (the sweep runs
+    # each variant in its own process), never toggle it mid-process.
     NSUB = int(_os.environ.get("SEQALIB_BAND_NSUB", "4"))
+    if CK % NSUB != 0:
+        raise ValueError(f"SEQALIB_BAND_NSUB={NSUB} must divide CK={CK}")
     span = _ceil_to(k_end - k_start, max(CK, NSUB))
     NCHUNK = span // CK
     grid = (NCHUNK,)

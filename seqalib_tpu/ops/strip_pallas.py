@@ -920,7 +920,17 @@ def strip_bucket(
     kwc = dict(kwc, BSUB=BSUB, interpret=interpret)
     need_starts = (want_starts or want_tb) and not gmode
     if need_starts:
-        res = _strip_local_fused(*dev_args, **kwc)
+        # resolve the window HERE, not inside the jitted body: WR is a
+        # static cache key, and an env-read at trace time with WR=None in
+        # the key would silently reuse a stale compile after the env
+        # changes within one process
+        res = _strip_local_fused(
+            *dev_args,
+            WR=fused_wr(),
+            pass2=_os.environ.get("SEQALIB_FUSED_PASS2", "banded"),
+            bw=int(_os.environ.get("SEQALIB_FUSED_BW", "64")),
+            **kwc,
+        )
     else:
         res = _strip_fill(*dev_args, want_ptr=want_tb and gmode, gmode=gmode, **kwc)
         bv = np.asarray(res["bv"]).astype(np.int32)  # (B, 128)
@@ -1020,26 +1030,47 @@ def strip_bucket(
     if not want_tb:
         return {k: v[:B0] for k, v in out.items()}
 
-    # pass 3: canonical CIGARs = global fill + walk over the windows
-    wq = (qe - qs).astype(np.int64)
-    wt = (te - ts).astype(np.int64)
+    cigars = window_global_cigars(
+        q, t, score, qs, qe, ts, te, table_h,
+        gap_open=gap_open, gap_extend=gap_extend, affine=affine, BSUB=BSUB,
+    )
+    res2 = {k: v[:B0] for k, v in out.items()}
+    res2["cigars"] = cigars[:B0]
+    return res2
+
+
+def window_global_cigars(
+    q, t, score, qs, qe, ts, te, table_h, *, gap_open, gap_extend, affine,
+    BSUB=None,
+):
+    """Pass 3 of the two-pass local coords scheme: canonical CIGAR of each
+    pair = the GLOBAL traceback of its coordinate window q[qs:qe] x
+    t[ts:te] (whose optimal global score provably equals the local score,
+    asserted below).  Shared by strip_bucket and the sharded path
+    (parallel.dist.strip_sharded).  score<=0 pairs get an empty CIGAR."""
+    B = q.shape[0]
+    n, m = q.shape[1], t.shape[1]
+    A1 = int(table_h.shape[0])
+    sent_q, sent_t = A1, A1 + 1
+    wq = (np.asarray(qe, np.int64) - qs).astype(np.int64)
+    wt = (np.asarray(te, np.int64) - ts).astype(np.int64)
     Lw_q = int(max(wq.max(), 1))
     Lw_t = int(max(wt.max(), 1))
     karr = np.arange(Lw_q)[None, :]
-    qw = np.full((B, Lw_q), SENT_Q, np.int32)
+    qw = np.full((B, Lw_q), sent_q, np.int32)
     if n:
         qw = np.where(
             karr < wq[:, None],
-            q[np.arange(B)[:, None], np.minimum(qs[:, None] + karr, n - 1)],
-            SENT_Q,
+            q[np.arange(B)[:, None], np.minimum(np.asarray(qs)[:, None] + karr, n - 1)],
+            sent_q,
         ).astype(np.int32)
     karr = np.arange(Lw_t)[None, :]
-    tw = np.full((B, Lw_t), SENT_T, np.int32)
+    tw = np.full((B, Lw_t), sent_t, np.int32)
     if m:
         tw = np.where(
             karr < wt[:, None],
-            t[np.arange(B)[:, None], np.minimum(ts[:, None] + karr, m - 1)],
-            SENT_T,
+            t[np.arange(B)[:, None], np.minimum(np.asarray(ts)[:, None] + karr, m - 1)],
+            sent_t,
         ).astype(np.int32)
     win = strip_bucket(
         qw,
@@ -1054,12 +1085,10 @@ def strip_bucket(
         want_tb=True,
         BSUB=BSUB,
     )
-    assert np.array_equal(np.asarray(win["score"]), score), (
+    assert np.array_equal(np.asarray(win["score"]), np.asarray(score)), (
         "window-global score must equal the local score"
     )
-    res2 = {k: v[:B0] for k, v in out.items()}
-    res2["cigars"] = ["" if score[b] <= 0 else win["cigars"][b] for b in range(B0)]
-    return res2
+    return ["" if score[b] <= 0 else win["cigars"][b] for b in range(B)]
 
 
 def _reduce_best_jnp(bv, bk, stride):
@@ -1091,6 +1120,8 @@ def _reduce_best_jnp(bv, bk, stride):
         "dt16",
         "interpret",
         "WR",
+        "pass2",
+        "bw",
     ),
 )
 def _strip_local_fused(
@@ -1113,6 +1144,8 @@ def _strip_local_fused(
     dt16,
     interpret,
     WR=None,
+    pass2="banded",
+    bw=64,
 ):
     """Fused two-pass local coords, fully inside jit: the end-only local
     fill, the canonical-end reduce, the reversed-prefix gathers, and the
@@ -1130,6 +1163,22 @@ def _strip_local_fused(
     >= |gap_open| + WR*|gap_extend|), and any *score* shortfall from the
     clamp is caught by the score2 != score escalation check.  Override the
     row window with SEQALIB_FUSED_WR (rounded up to a strip multiple).
+
+    Canonical-start guarantee boundary (windowed pass 2, both engines):
+    escalation catches every SCORE shortfall, but a co-optimal TIE whose
+    canonical (smallest-ri) cell lies outside the window while another
+    optimal cell lies inside would return the in-window start without
+    escalating.  The ROW window is tie-safe by construction (the canonical
+    cell has the minimal ri of all ties, so it is inside any row window
+    that contains an optimal cell at all).  Residual exposure: (a) banded
+    engine — a tie whose path's gap imbalance exceeds bw=64 at any point
+    (needs >= 2*(|gap_open| + 65*|gap_extend|) of extra gap cost repaid
+    exactly to a tie by extra matches); (b) either engine — a tie with
+    > ~WR net deletions (the column clamp).  Both require adversarially
+    constructed knife-edge score ties; the oracle's full-width reverse
+    extension remains the definition, and `SEQALIB_FUSED_PASS2=strip`
+    narrows the exposure to (b) only (its column window is the full
+    target at lengths <= ~2*WR, e.g. the whole 1kb contract domain).
     """
     if WR is None:
         WR = fused_wr()
@@ -1190,8 +1239,8 @@ def _strip_local_fused(
     # (~10% of pass 1) vs the strip engine's O(WR * 2WR) (~30%); a start
     # whose net gap exceeds BW misses the score and escalates, same as the
     # window clamp.  Wide-range (non-packed) profiles stay on strip.
-    engine = _os.environ.get("SEQALIB_FUSED_PASS2", "banded")
-    use_banded = engine == "banded" and (not profile or packed)
+    use_banded = pass2 == "banded" and (not profile or packed)
+    engine = pass2
     if engine == "none":
         # timing diagnostic ONLY: skip pass 2 (score2 := score disarms the
         # escalation gate; starts are WRONG).  Isolates the glue cost
@@ -1205,7 +1254,7 @@ def _strip_local_fused(
     elif use_banded:
         from .banded_pallas import band_fill_range
 
-        BW = int(_os.environ.get("SEQALIB_FUSED_BW", "64"))
+        BW = bw
         Wpb = _ceil_to((2 * BW + 1) // 2 + 2, LANES)
         CKb = 128
         Kp = _ceil_to(WR + min(TWD, WR + BW) + 1, CKb)

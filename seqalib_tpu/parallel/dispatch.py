@@ -129,10 +129,21 @@ def dispatch_batch(
 ) -> List[AlignResult]:
     """Align all pairs; returns results in input order."""
     n_pairs = len(qs)
+    # banded fast path covers scalar scoring AND nibble-range substitution
+    # matrices (the packed-profile banded kernel); wider tables fall
+    # through to the full-matrix wavefront with band masking
+    banded_matrix_ok = sp.matrix is None
+    if sp.matrix is not None:
+        from ..ops.banded_pallas import NIBBLE_BIAS as _NB
+
+        tbl = sp.substitution_matrix()
+        banded_matrix_ok = (
+            tbl.min() >= -_NB and tbl.max() <= 15 - _NB and tbl.shape[0] + 1 <= 31
+        )
     if (
         band is not None
         and backend == "pallas"
-        and sp.matrix is None
+        and banded_matrix_ok
         and mode == "global"
         and mesh is None
     ):

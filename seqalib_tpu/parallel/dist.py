@@ -15,6 +15,7 @@ No NCCL/MPI analog exists or is needed: the XLA TPU runtime owns transport
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -162,7 +163,14 @@ def strip_sharded(
         gap_open=gap_open, gap_extend=gap_extend, affine=affine,
     )
     interpret = jax.devices()[0].platform != "tpu"
-    fn = _ft.partial(_strip_local_fused, **kwc, BSUB=BSUB, interpret=interpret)
+    from ..ops.strip_pallas import fused_wr as _fwr
+
+    fn = _ft.partial(
+        _strip_local_fused, **kwc, BSUB=BSUB, interpret=interpret,
+        WR=_fwr(),
+        pass2=os.environ.get("SEQALIB_FUSED_PASS2", "banded"),
+        bw=int(os.environ.get("SEQALIB_FUSED_BW", "64")),
+    )
     args = (
         jnp.asarray(qpad),
         jnp.asarray(t2),
@@ -202,38 +210,14 @@ def strip_sharded(
     }
     if not want_tb:
         return out
-    # window traceback (pass 3), host-orchestrated on the strip kernels
-    from ..ops.strip_pallas import strip_bucket
+    # window traceback (pass 3), host-orchestrated on the strip kernels —
+    # shared with strip_bucket's tail (includes the window-score assert)
+    from ..ops.strip_pallas import window_global_cigars
 
-    wq = (qe[:B0] - qs[:B0]).astype(np.int64)
-    wt = (te[:B0] - ts[:B0]).astype(np.int64)
-    Lw_q = int(max(wq.max(), 1))
-    Lw_t = int(max(wt.max(), 1))
-    A1 = int(table_h.shape[0])
-    karr = np.arange(Lw_q)[None, :]
-    qw = np.full((B0, Lw_q), A1, np.int32)
-    if q.shape[1]:
-        qw = np.where(
-            karr < wq[:, None],
-            q[np.arange(B0)[:, None], np.minimum(qs[:B0, None] + karr, q.shape[1] - 1)],
-            A1,
-        ).astype(np.int32)
-    karr = np.arange(Lw_t)[None, :]
-    tw = np.full((B0, Lw_t), A1 + 1, np.int32)
-    if t.shape[1]:
-        tw = np.where(
-            karr < wt[:, None],
-            t[np.arange(B0)[:, None], np.minimum(ts[:B0, None] + karr, t.shape[1] - 1)],
-            A1 + 1,
-        ).astype(np.int32)
-    win = strip_bucket(
-        qw, tw, wq.astype(np.int32), wt.astype(np.int32), table_h,
-        mode="global", gap_open=gap_open, gap_extend=gap_extend,
-        affine=affine, want_tb=True,
+    out["cigars"] = window_global_cigars(
+        q[:B0], t[:B0], out["score"], qs[:B0], qe[:B0], ts[:B0], te[:B0],
+        table_h, gap_open=gap_open, gap_extend=gap_extend, affine=affine,
     )
-    out["cigars"] = [
-        "" if out["score"][b] <= 0 else win["cigars"][b] for b in range(B0)
-    ]
     return out
 
 

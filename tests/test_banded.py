@@ -160,3 +160,30 @@ def test_banded_rejects_wide_range_matrix(rng):
     qs, ts, qlen, tlen = _random_bucket(rng, [16], [16])
     with pytest.raises(NotImplementedError):
         banded_align_batch(qs, ts, qlen, tlen, sp, band=4)
+
+
+def test_banded_matrix_routes_through_dispatch(rng, monkeypatch):
+    """align_batch(band=, BLOSUM62) must reach the packed-profile banded
+    kernel, not the full-matrix wavefront fallback (review finding: the
+    dispatcher's `sp.matrix is None` guard made the feature unreachable
+    from the public API)."""
+    import seqalib_tpu.models.banded as mb
+    from seqalib_tpu.api import align_batch
+    from seqalib_tpu.oracle import nw_affine
+
+    calls = []
+    orig = mb.banded_align_batch
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mb, "banded_align_batch", spy)
+    sp = ScoringParams.blosum62()
+    q = rng.integers(0, 20, 200).astype(np.uint8)
+    t = rng.integers(0, 20, 210).astype(np.uint8)
+    got = align_batch([q], [t], scoring=sp, mode="global", band=32,
+                      backend="pallas")[0]
+    ref = nw_affine(q.astype(np.int32), t.astype(np.int32), sp, band=32)
+    assert calls, "banded kernel path was not taken"
+    assert (got.score, got.cigar) == (ref.score, ref.cigar)

@@ -120,12 +120,17 @@ def test_int16_bound_logic_near_overflow(rng):
         os.environ.pop("SEQALIB_STRIP_INT16", None)
 
 
-def test_start_escalation_tall_alignment(rng):
-    """A local alignment spanning > 128 query rows must escalate past the
-    fused pass-2 window and still produce canonical coords."""
+def test_start_escalation_tall_alignment(rng, monkeypatch):
+    """A local alignment spanning more rows than the fused pass-2 window
+    must escalate to the host wide-rescan path and still produce canonical
+    coords.  The window default grew 384 -> 512 in round 2, so the test
+    pins it to 128 via env (now honored per-call: WR is resolved at the
+    strip_bucket call site, not trace time) to keep the escalation path
+    actually exercised."""
     from seqalib_tpu.ops.strip_pallas import strip_bucket
     from seqalib_tpu.parallel.dispatch import sentinel_table
 
+    monkeypatch.setenv("SEQALIB_FUSED_WR", "128")
     sp = ScoringParams.affine(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
     n = 200
     base = rng.integers(0, 4, n).astype(np.int32)

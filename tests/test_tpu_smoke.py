@@ -90,6 +90,12 @@ def test_smoke_global_affine_traceback(rng):
 
 
 def test_smoke_start_escalation(rng):
+    """Long (200-row) self-alignment: spans the whole fused pass-2 row
+    window's interior.  (With the round-2 WR=512 default this no longer
+    escalates — the host escalation path is exercised by
+    tests/test_properties.py::test_start_escalation_tall_alignment with a
+    pinned 128-row window; keeping this on-chip test escalation-free
+    avoids compiling a second kernel variant through the tunnel.)"""
     base = rng.integers(0, 4, 200).astype(np.int32)
     q = np.stack([base] * 8)
     t = q.copy()
