@@ -247,6 +247,95 @@ class HirschbergSA(SequenceAligner):
         return e1 + e2, sc1 + sc2
 
 
+class GotohSA(SequenceAligner):
+    """Full-matrix AFFINE-gap alignment for arbitrary elements, global or
+    local (``local=True`` = Smith-Waterman-style zero clamp + argmax end,
+    the engine's config-3 capability at the generic-API layer).  Same
+    tie-breaks as the engine contract: DIAG > UP > LEFT, extend >= open,
+    smallest-i-then-j argmax."""
+
+    def __init__(self, *args, gap_open: int = 0, gap_extend: int | None = None,
+                 local: bool = False, **kw):
+        super().__init__(*args, **kw)
+        self.gap_open = gap_open
+        self.gap_extend = (
+            gap_extend if gap_extend is not None else self.scoring.gap_penalty
+        )
+        self.local = local
+
+    def get_alignment(self, s1, s2) -> AlignedSequence:
+        NEG = -(1 << 50)
+        o, e = self.gap_open, self.gap_extend
+        n, m = len(s1), len(s2)
+        H = [[NEG] * (m + 1) for _ in range(n + 1)]
+        E = [[NEG] * (m + 1) for _ in range(n + 1)]
+        F = [[NEG] * (m + 1) for _ in range(n + 1)]
+        PH = [[0] * (m + 1) for _ in range(n + 1)]  # 0 STOP 1 DIAG 2 UP 3 LEFT
+        XE = [[False] * (m + 1) for _ in range(n + 1)]
+        XF = [[False] * (m + 1) for _ in range(n + 1)]
+        H[0][0] = 0
+        best, bi, bj = 0, 0, 0
+        for i in range(n + 1):
+            for j in range(m + 1):
+                if i == 0 and j == 0:
+                    continue
+                if j > 0:
+                    ext, opn = E[i][j - 1] + e, H[i][j - 1] + o + e
+                    XE[i][j] = ext >= opn
+                    E[i][j] = max(ext, opn)
+                if i > 0:
+                    ext, opn = F[i - 1][j] + e, H[i - 1][j] + o + e
+                    XF[i][j] = ext >= opn
+                    F[i][j] = max(ext, opn)
+                d = NEG
+                if i > 0 and j > 0:
+                    ps = self._pair_score(s1[i - 1], s2[j - 1])
+                    if ps is not None:
+                        d = H[i - 1][j - 1] + ps
+                cand = max(d, F[i][j], E[i][j])
+                if self.local and cand <= 0:
+                    H[i][j] = 0
+                    PH[i][j] = 0
+                    continue
+                H[i][j] = cand
+                PH[i][j] = 1 if d == cand else (2 if F[i][j] == cand else 3)
+                if self.local and cand > best:
+                    best, bi, bj = cand, i, j
+        i, j = (bi, bj) if self.local else (n, m)
+        score = best if self.local else H[n][m]
+        ents: List[AlignedEntry] = []
+        state = "H"
+        while True:
+            if state == "H":
+                p = PH[i][j]
+                if p == 0:
+                    break
+                if p == 1:
+                    a, b = s1[i - 1], s2[j - 1]
+                    ents.append(AlignedEntry(a, b, self.match_fn(a, b)))
+                    i, j = i - 1, j - 1
+                elif p == 2:
+                    state = "F"
+                else:
+                    state = "E"
+            elif state == "F":
+                ents.append(AlignedEntry(s1[i - 1], self.blank, False))
+                was = XF[i][j]
+                i -= 1
+                if not was:
+                    state = "H"
+            else:
+                ents.append(AlignedEntry(self.blank, s2[j - 1], False))
+                was = XE[i][j]
+                j -= 1
+                if not was:
+                    state = "H"
+            if not self.local and i == 0 and j == 0:
+                break
+        ents.reverse()
+        return AlignedSequence(ents, int(score), self.blank)
+
+
 class MyersMillerSA(SequenceAligner):
     """Linear-space AFFINE-gap global alignment (Myers & Miller 1988) —
     the affine upgrade of :class:`HirschbergSA` (round-1 deferral,

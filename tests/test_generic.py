@@ -178,3 +178,27 @@ def test_myers_miller_long_gappy_pair():
     sp = ScoringParams(match=2, mismatch=-3, gap_open=-8, gap_extend=-1)
     got = sa.get_alignment(list(q), list(t))
     assert got.score == nw_affine(q, t, sp).score
+
+
+def test_gotoh_generic_matches_oracle():
+    """GotohSA (full-matrix affine, generic elements): global and local
+    results must match the engine oracle exactly, CIGAR included."""
+    from seqalib_tpu.models.generic import GotohSA
+    from seqalib_tpu.oracle import nw_affine, sw_affine
+
+    rng = np.random.default_rng(3)
+    sc = ScoringSystem(match_profit=2, mismatch_penalty=-3)
+    sp = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    for _ in range(6):
+        n, m = int(rng.integers(0, 35)), int(rng.integers(0, 35))
+        q = rng.integers(0, 4, n)
+        t = rng.integers(0, 4, m)
+        g = GotohSA(sc, gap_open=-5, gap_extend=-2).get_alignment(list(q), list(t))
+        ref = nw_affine(q, t, sp)
+        assert g.score == ref.score
+        assert g.cigar() == ref.cigar
+        gl = GotohSA(sc, gap_open=-5, gap_extend=-2, local=True).get_alignment(
+            list(q), list(t)
+        )
+        refl = sw_affine(q, t, sp)
+        assert gl.score == refl.score
