@@ -65,3 +65,28 @@ def test_cli_align_banded(capsys):
 def test_cli_rejects_bad_mode():
     with pytest.raises(SystemExit):
         main(["align", "A", "A", "--mode", "sideways"])
+
+
+def test_cli_bench_config1_xla_parity(capsys):
+    """cmd_bench end-to-end on CPU: config 1 (NW global + traceback) with
+    the full parity gate on the xla backend, tiny pairs."""
+    rc = main([
+        "bench", "1", "--pairs", "6", "--backend", "xla",
+        "--parity-check", "--parity-pairs", "6",
+    ])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    assert out["config"] == 1 and out["parity_ok"] is True
+    assert out["pairs"] == 6 and out["pairs_per_sec"] > 0
+
+
+def test_cli_bench_config4_banded_parity(capsys):
+    """cmd_bench config 4 (banded long reads) at test scale with the
+    oracle-truncated banded parity gate, pallas(interpret) backend."""
+    rc = main([
+        "bench", "4", "--pairs", "8", "--long-len", "600", "--band", "32",
+        "--parity-check", "--parity-pairs", "1",
+    ])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    assert out["config"] == 4 and out["parity_ok"] is True
