@@ -195,20 +195,43 @@ def _band_kernel(
         Hn = jnp.where(origin, 0, Hn)
         ptr = jnp.where(origin, PTR_STOP, ptr)
 
-        # out-of-band / out-of-matrix cells are exactly NEG (oracle parity)
-        dkj = jvec - ivec
-        ok = (
-            (dkj >= dlov)
-            & (dkj <= dhiv)
-            & (ivec >= 0)
-            & (ivec <= qlenv)
-            & (jvec >= 0)
-            & (jvec <= tlenv)
-        )
-        ok = ok & ~origin
-        Hn = jnp.where(origin, 0, jnp.where(ok, Hn, NEG))
-        En = jnp.where(ok, En, NEG)
-        Fn = jnp.where(ok, Fn, NEG)
+        if emode:
+            # EXTENSION mode drops the per-cell band/validity mask:
+            # sentinel letters score <= -NIBBLE_BIAS and every gap step
+            # costs <= -1, so cells past (qlen, tlen) strictly decay from
+            # the valid cells they extend and can never win the BV argmax
+            # — the un-masked slot window computes a WIDER effective band
+            # than [dlo, dhi] at zero extra cost (values stay exact or
+            # underestimates, keeping the caller's score2 == score
+            # escalation gate sound).  One invariant must survive the
+            # mask removal: pltpu.roll is CIRCULAR, and the full mask was
+            # what kept the edge slots NEG so that wraparound injected
+            # NEG as the outside-the-window neighbor.  Forcing the TOP
+            # physical slot (Wp-1) to NEG preserves that: wraps INTO
+            # slot 0 (up/diag neighbors from slot Wp-1) read NEG, and
+            # wraps INTO slot Wp-1 (left neighbors from slot 0) land in
+            # a slot we discard.  (Measured: without this, a wrapped
+            # real value teleports 128 rows and overestimates score2.)
+            edge = parr == Wp - 1
+            Hn = jnp.where(edge, NEG, Hn)
+            En = jnp.where(edge, NEG, En)
+            Fn = jnp.where(edge, NEG, Fn)
+        else:
+            # out-of-band / out-of-matrix cells are exactly NEG (oracle
+            # banded parity)
+            dkj = jvec - ivec
+            ok = (
+                (dkj >= dlov)
+                & (dkj <= dhiv)
+                & (ivec >= 0)
+                & (ivec <= qlenv)
+                & (jvec >= 0)
+                & (jvec <= tlenv)
+            )
+            ok = ok & ~origin
+            Hn = jnp.where(origin, 0, jnp.where(ok, Hn, NEG))
+            En = jnp.where(ok, En, NEG)
+            Fn = jnp.where(ok, Fn, NEG)
 
         if emode:
             # anchored-extension argmax: per band slot, strict > keeps the

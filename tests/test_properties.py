@@ -169,3 +169,47 @@ def test_local_coords_are_reverse_canonical(rng):
     )
     got = align_batch([q], [t], scoring=sp, mode="local", backend="xla")[0]
     assert str(got) == str(r)
+
+
+def test_fused_pass2_never_overestimates(rng):
+    """Pass-2 extension values must be exact-or-underestimates of the local
+    score (the escalation gate's soundness).  Regression: dropping the
+    emode mask once let pltpu.roll's CIRCULAR wraparound teleport a real
+    neighbor value across the slot window and read score2 = score + 1.
+    Truncated-row-window self-alignments (span > WR) stress the window
+    edges."""
+    import jax
+
+    from seqalib_tpu.ops.strip_pallas import (
+        LANES, TI, _ceil_to, _strip_local_fused,
+    )
+    from seqalib_tpu.parallel.dispatch import sentinel_table
+
+    sp = ScoringParams.affine(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+    table_h = sentinel_table(sp)
+    A1 = int(table_h.shape[0])
+    B, L = 8, 384
+    base = rng.integers(0, 4, L).astype(np.int32)
+    q = np.stack([base] * B)
+    t = q.copy()
+    for b in range(B):  # a few mutations per pair
+        idx = rng.choice(L, 6, replace=False)
+        t[b, idx] = (t[b, idx] + 1) % 4
+    n_pad = _ceil_to(L, TI)
+    W2 = (_ceil_to(L, LANES) // LANES + 2) * LANES
+    qpad = np.full((B, n_pad), A1, np.int32)
+    qpad[:, :L] = q
+    t2 = np.full((B, W2), A1 + 1, np.int32)
+    t2[:, 1 : 1 + L] = t
+    out = jax.jit(
+        lambda *a: _strip_local_fused(
+            *a, BSUB=8, mq=L, match=2, mismatch=-3, gap_open=-4,
+            gap_extend=-1, affine=True, profile=False, packed=False, A1=A1,
+            dt16=False, interpret=True, WR=128, pass2="banded", bw=64,
+        )
+    )(qpad, t2, np.full(B, L, np.int32), np.full(B, L, np.int32), table_h)
+    score = np.asarray(out["score"])
+    score2 = np.asarray(out["score2"])
+    assert (score2 <= score).all(), (score2, score)
+    # span ~L > WR=128: the truncated window must undershoot -> escalate
+    assert (score2 < score).all()
