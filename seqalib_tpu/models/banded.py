@@ -123,20 +123,29 @@ def banded_align_batch(
     dhi = int(dhi_p.max())
     Wp, K = _geometry(dlo, dhi, n, m)
     CK = _ceil_to(CK, 4)
-
-    Kp = _ceil_to(K, CK)  # the grid may run past K; widths must cover it
-    qwidth = _ceil_to((Kp - dhi) // 2 + Wp + 2, LANES) + LANES
-    twidth = _ceil_to(Kp + 2, LANES) + LANES
-
-    # VMEM guard: the kernel keeps the full padded letter arrays resident
-    # (qwidth + twidth int32 per pair) plus ~8 band-state rows; chunk the
-    # batch so one call fits the ~16MB VMEM (windowed letter streaming is
-    # the planned fix for large B at 100kb).
     import os as _os
 
+    # letter streaming (default on): letters stay in HBM and each chunk
+    # DMAs its sliding windows into VMEM scratch, lifting the resident-
+    # letter VMEM ceiling that used to force tiny batches at 100kb
+    stream = _os.environ.get("SEQALIB_BANDED_STREAM", "1") == "1"
+
+    Kp = _ceil_to(K, CK)  # the grid may run past K; widths must cover it
+    dma_slack = (CK // 2 + 4 * LANES) if stream else 0
+    qwidth = _ceil_to((Kp - dhi) // 2 + Wp + 2 + dma_slack, LANES) + LANES
+    twidth = _ceil_to(Kp + 2 + 2 * dma_slack, LANES) + LANES
+
+    # VMEM guard: chunk the batch so one call fits the ~16MB VMEM.
+    # Streaming mode holds only the per-chunk windows + band state;
+    # non-streaming additionally keeps the full padded letters resident.
     vmem_cap = int(_os.environ.get("SEQALIB_BANDED_VMEM_CAP", str(8 * 1024**2)))
     n_qrows = G_PROF if profile else 1  # resident query-side rows per pair
-    per_pair = (n_qrows * qwidth + twidth + (10 + 2 * n_qrows) * Wp) * 4
+    if stream:
+        WQW = _ceil_to(Wp + CK // 2 + 2 + 2 * LANES, LANES)
+        WTW = _ceil_to(CK + 2 + 2 * LANES, LANES)
+        per_pair = (n_qrows * WQW + WTW + (10 + 2 * n_qrows) * Wp) * 4
+    else:
+        per_pair = (n_qrows * qwidth + twidth + (10 + 2 * n_qrows) * Wp) * 4
     max_b = max(1, vmem_cap // per_pair)
     if B > max_b:
         log.info(
@@ -189,6 +198,7 @@ def banded_align_batch(
         CK=CK,
         interpret=interpret,
         profile=profile,
+        stream=stream,
     )
 
     # ---- pass 1: fill with checkpoints ----------------------------------

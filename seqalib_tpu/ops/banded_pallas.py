@@ -94,6 +94,9 @@ def _band_kernel(
     want_ckpt: bool,
     profile: bool,
     emode: bool,
+    stream: bool,
+    WQW: int,
+    WTW: int,
 ):
     NS = n_band_state(profile, emode)
     g = pl.program_id(0)
@@ -110,6 +113,11 @@ def _band_kernel(
     dlov = dloc_ref[:, 0:1]
     dhiv = dhic_ref[:, 0:1]
 
+    state_scratch = list(state_scratch)
+    if stream:
+        qwin, twin, semq, semt = state_scratch[-4:]
+        del state_scratch[-4:]
+
     @pl.when(g == 0)
     def _init():
         for a in range(NS):
@@ -123,6 +131,33 @@ def _band_kernel(
 
     def ihat(k):
         return jnp.maximum(0, (k - dhi + 1) // 2)
+
+    # letter streaming: the full padded letter arrays stay in HBM (pl.ANY)
+    # and each CK-chunk DMAs only its sliding windows into VMEM scratch —
+    # the O(n)-wide resident letters were the VMEM ceiling at 100kb
+    # (models/banded.py guard).  Bases are 128-aligned runtime scalars so
+    # ONE compile serves every chunk.
+    if stream:
+        k0s = k_start + g * CK
+        ih0 = ihat(k0s)
+        qbase = (ih0 // LANES) * LANES
+        tbase = (jnp.maximum(k0s - ih0 - 2, 0) // LANES) * LANES
+        if profile:
+            cq = pltpu.make_async_copy(
+                qk_ref.at[:, :, pl.ds(qbase, WQW)], qwin, semq
+            )
+        else:
+            cq = pltpu.make_async_copy(qk_ref.at[:, pl.ds(qbase, WQW)], qwin, semq)
+        ct = pltpu.make_async_copy(tk_ref.at[:, pl.ds(tbase, WTW)], twin, semt)
+        cq.start()
+        ct.start()
+        cq.wait()
+        ct.wait()
+        qsrc, tsrc = qwin, twin
+    else:
+        qbase = 0
+        tbase = 0
+        qsrc, tsrc = qk_ref, tk_ref
 
     def col(ref, x, gi=None):
         """(B, 1) word ref[(gi,) :, x] via aligned-block load + mask-reduce."""
@@ -151,12 +186,12 @@ def _band_kernel(
         # sliding windows (QW/PWg[p] = src[ih+p-1], TW[p] = t[k-ih-p-1])
         for gi in range(len(qws)):
             w = pltpu.roll(qws[gi], -d1, axis=1)
-            top = col(qk_ref, ih + Wp - 1, gi if profile else None)
+            top = col(qsrc, ih + Wp - 1 - qbase, gi if profile else None)
             qws[gi] = jnp.where(
                 parr == Wp - 1, jnp.broadcast_to(top, (B, Wp)), w
             )
         TW = pltpu.roll(TW, 1 - d1, axis=1)
-        tlow = col(tk_ref, k - ih)
+        tlow = col(tsrc, k - ih - tbase)
         TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
 
         ivec = ih + parr
@@ -337,6 +372,7 @@ def build_packed_profile_np(qk: np.ndarray, table: np.ndarray) -> np.ndarray:
         "interpret",
         "profile",
         "emode",
+        "stream",
     ),
 )
 def band_fill_range(
@@ -365,6 +401,7 @@ def band_fill_range(
     interpret,
     profile=False,
     emode=False,
+    stream=False,
 ):
     """Fill anti-diagonals [k_start, k_end) resuming from state_in.
 
@@ -393,6 +430,8 @@ def band_fill_range(
     dloc = jnp.broadcast_to(dlo_p[:, None].astype(jnp.int32), (B, LANES))
     dhic = jnp.broadcast_to(dhi_p[:, None].astype(jnp.int32), (B, LANES))
 
+    WQW = _ceil_to(Wp + CK // 2 + 2 + 2 * LANES, LANES)
+    WTW = _ceil_to(CK + 2 + 2 * LANES, LANES)
     kernel = functools.partial(
         _band_kernel,
         CK=CK,
@@ -412,6 +451,9 @@ def band_fill_range(
         want_ckpt=want_ckpt,
         profile=profile,
         emode=emode,
+        stream=stream,
+        WQW=WQW,
+        WTW=WTW,
     )
 
     def cspec(shape):
@@ -436,12 +478,25 @@ def band_fill_range(
         ),
     ]
 
+    scratch = [pltpu.VMEM((B, Wp), jnp.int32) for _ in range(NS)]
+    if stream:
+        # letters live in HBM; per-chunk windows DMA into these
+        qwin_shape = (G_PROF, B, WQW) if profile else (B, WQW)
+        scratch += [
+            pltpu.VMEM(qwin_shape, jnp.int32),
+            pltpu.VMEM((B, WTW), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+        letter_spec = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs = [letter_spec, letter_spec]
+    else:
+        in_specs = [cspec(qk.shape), cspec(tk.shape)]
     score, state_out, ckpts, ptrs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            cspec(qk.shape),
-            cspec(tk.shape),
+        in_specs=in_specs
+        + [
             cspec((B, LANES)),
             cspec((B, LANES)),
             cspec((B, LANES)),
@@ -450,7 +505,7 @@ def band_fill_range(
         ],
         out_shape=out_shapes,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((B, Wp), jnp.int32) for _ in range(NS)],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
     )(qk, tk, qlenc, tlenc, dloc, dhic, state_in)
