@@ -171,15 +171,19 @@ def main():
             ts.append(time.perf_counter() - t0)
         return statistics.median(ts)
 
+    c1, c2 = chain(X1), chain(X2)
     trace_dir = os.environ.get("BENCH_TRACE")
     if trace_dir:
-        # profiler wrap (SURVEY.md §5 tracing): one short traced chain
+        # profiler wrap (SURVEY.md §5 tracing): one short traced chain.
+        # Reuses c1 so the X1 program compiles once, not twice (remote
+        # chain compiles are expensive).
         import jax.profiler
 
+        int(c1(args[0]))  # compile OUTSIDE the trace window
         with jax.profiler.trace(trace_dir):
-            int(chain(X1)(args[0]))
+            int(c1(args[0]))
 
-    t1, t2_ = timed(chain(X1)), timed(chain(X2))
+    t1, t2_ = timed(c1), timed(c2)
     per_call = (t2_ - t1) / (X2 - X1)
     gcups = B * L * L / per_call / 1e9
     print(

@@ -97,12 +97,30 @@ def align_batch(
     )
 
 
-def _avall_key(qs, rs, chunk_pairs: int) -> str:
-    """Content key for resume shards: inputs + chunking must match."""
+def _avall_key(qs, rs, chunk_pairs: int, sp: ScoringParams, mode: str) -> str:
+    """Content key for resume shards: inputs, chunking, scoring, and mode
+    must all match (backend is deliberately excluded — all backends are
+    bit-exact by contract, so shards are interchangeable across them)."""
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
-    h.update(str((len(qs), len(rs), chunk_pairs)).encode())
+    h.update(
+        str(
+            (
+                len(qs),
+                len(rs),
+                chunk_pairs,
+                mode,
+                sp.match,
+                sp.mismatch,
+                sp.gap_open,
+                sp.gap_extend,
+            )
+        ).encode()
+    )
+    if sp.matrix is not None:
+        h.update(np.asarray(sp.matrix).tobytes())
+    h.update(b"#")
     for s in qs:
         h.update(s.tobytes())
         h.update(b"|")
@@ -155,7 +173,7 @@ def align_all_vs_all(
     key = ""
     if resume_dir is not None:
         os.makedirs(resume_dir, exist_ok=True)
-        key = _avall_key(qs, rs, chunk_pairs)
+        key = _avall_key(qs, rs, chunk_pairs, sp, mode)
 
     # the (i, j) product is streamed lazily: at config-5 scale (10k x 1k =
     # 10M pairs) materializing the index list up front stalls in pure

@@ -97,16 +97,17 @@ def banded_align_batch(
     """
     profile = sp.matrix is not None
     if profile:
+        from ..ops.banded_pallas import banded_matrix_supported
+
         table = sp.substitution_matrix()
-        if table.min() < -NIBBLE_BIAS or table.max() > 15 - NIBBLE_BIAS:
+        if not banded_matrix_supported(table):
             raise NotImplementedError(
                 "banded matrix scoring needs a packed-nibble-range table "
-                f"([{-NIBBLE_BIAS}, {15 - NIBBLE_BIAS}]); wider tables use "
-                "the full wavefront kernel (band= on align_batch)"
+                f"([{-NIBBLE_BIAS}, {15 - NIBBLE_BIAS}]) and alphabet+1 <= "
+                "31; wider tables use the full wavefront kernel (band= on "
+                "align_batch)"
             )
         A1 = int(table.shape[0])
-        if A1 + 1 > 31:
-            raise NotImplementedError("alphabet too large for banded profile")
     interpret = jax.devices()[0].platform != "tpu"
     qs = np.asarray(qs, np.int32)
     ts = np.asarray(ts, np.int32)
@@ -141,8 +142,9 @@ def banded_align_batch(
     vmem_cap = int(_os.environ.get("SEQALIB_BANDED_VMEM_CAP", str(8 * 1024**2)))
     n_qrows = G_PROF if profile else 1  # resident query-side rows per pair
     if stream:
-        WQW = _ceil_to(Wp + CK // 2 + 2 + 2 * LANES, LANES)
-        WTW = _ceil_to(CK + 2 + 2 * LANES, LANES)
+        from ..ops.banded_pallas import stream_windows
+
+        WQW, WTW = stream_windows(Wp, CK)
         per_pair = (n_qrows * WQW + WTW + (10 + 2 * n_qrows) * Wp) * 4
     else:
         per_pair = (n_qrows * qwidth + twidth + (10 + 2 * n_qrows) * Wp) * 4

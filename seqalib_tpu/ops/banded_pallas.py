@@ -64,6 +64,27 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def stream_windows(Wp: int, CK: int):
+    """(WQW, WTW): per-chunk VMEM letter-window widths in streaming mode.
+    Single source of truth — models/banded.py's VMEM chunking guard uses
+    the same values to size batches."""
+    WQW = _ceil_to(Wp + CK // 2 + 2 + 2 * LANES, LANES)
+    WTW = _ceil_to(CK + 2 + 2 * LANES, LANES)
+    return WQW, WTW
+
+
+def banded_matrix_supported(table) -> bool:
+    """True when a substitution table fits the banded kernel's
+    packed-nibble profile (shared by the dispatcher's routing and
+    banded_align_batch's own capability guard)."""
+    t = np.asarray(table)
+    return bool(
+        t.min() >= -NIBBLE_BIAS
+        and t.max() <= 15 - NIBBLE_BIAS
+        and t.shape[0] + 1 <= 31
+    )
+
+
 def _band_kernel(
     qk_ref,  # (B, Lqp) i32 letters (scalar) | (G_PROF, B, Lqp) i32 packed profile
     tk_ref,  # (B, Ltp) i32: tk[:, x] = t[x-1] (sentinel outside)
@@ -430,8 +451,7 @@ def band_fill_range(
     dloc = jnp.broadcast_to(dlo_p[:, None].astype(jnp.int32), (B, LANES))
     dhic = jnp.broadcast_to(dhi_p[:, None].astype(jnp.int32), (B, LANES))
 
-    WQW = _ceil_to(Wp + CK // 2 + 2 + 2 * LANES, LANES)
-    WTW = _ceil_to(CK + 2 + 2 * LANES, LANES)
+    WQW, WTW = stream_windows(Wp, CK)
     kernel = functools.partial(
         _band_kernel,
         CK=CK,

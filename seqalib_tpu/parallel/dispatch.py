@@ -130,22 +130,22 @@ def dispatch_batch(
     """Align all pairs; returns results in input order."""
     n_pairs = len(qs)
     # banded fast path covers scalar scoring AND nibble-range substitution
-    # matrices (the packed-profile banded kernel); wider tables fall
-    # through to the full-matrix wavefront with band masking
-    banded_matrix_ok = sp.matrix is None
-    if sp.matrix is not None:
-        from ..ops.banded_pallas import NIBBLE_BIAS as _NB
+    # matrices (the packed-profile banded kernel, same predicate the
+    # kernel guard uses); wider tables fall through to the full-matrix
+    # wavefront with band masking
+    def _banded_ok():
+        if sp.matrix is None:
+            return True
+        from ..ops.banded_pallas import banded_matrix_supported
 
-        tbl = sp.substitution_matrix()
-        banded_matrix_ok = (
-            tbl.min() >= -_NB and tbl.max() <= 15 - _NB and tbl.shape[0] + 1 <= 31
-        )
+        return banded_matrix_supported(sp.substitution_matrix())
+
     if (
         band is not None
         and backend == "pallas"
-        and banded_matrix_ok
         and mode == "global"
         and mesh is None
+        and _banded_ok()
     ):
         # long-read path: O(n*w) banded kernel + checkpointed traceback
         # (models.banded).  Pairs are grouped by QUANTIZED length delta

@@ -84,3 +84,21 @@ def test_all_vs_all_resume(rng, tmp_path, monkeypatch):
                                  chunk_pairs=4, resume_dir=d)
     for f in base:
         assert np.array_equal(base[f], second[f])
+
+
+def test_all_vs_all_resume_invalidates_on_scoring_change(rng, tmp_path):
+    """Review regression: a resume_dir reused with different scoring (or
+    mode) must recompute, not silently return the old run's results."""
+    reads = [rng.integers(0, 4, 18).astype(np.uint8) for _ in range(3)]
+    refs = [rng.integers(0, 4, 24).astype(np.uint8) for _ in range(2)]
+    d = str(tmp_path / "shards")
+    sp1 = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
+    sp2 = ScoringParams(match=9, mismatch=-1, gap_open=0, gap_extend=-1)
+    sa.align_all_vs_all(reads, refs, scoring=sp1, backend="xla",
+                        chunk_pairs=2, resume_dir=d)
+    got = sa.align_all_vs_all(reads, refs, scoring=sp2, backend="xla",
+                              chunk_pairs=2, resume_dir=d)
+    fresh = sa.align_all_vs_all(reads, refs, scoring=sp2, backend="xla",
+                                chunk_pairs=2)
+    for f in fresh:
+        assert np.array_equal(got[f], fresh[f])
