@@ -144,7 +144,7 @@ def strip_sharded(
     if BSUB is None:
         import os
 
-        BSUB = int(os.environ.get("SEQALIB_STRIP_BSUB", "32"))
+        BSUB = int(os.environ.get("SEQALIB_STRIP_BSUB", "128"))
     # per-device batch must be a BSUB multiple (the kernel grid asserts it)
     Bs = -(-B0 // ndev)
     BSUB = max(SUBLANES, min(BSUB, _ceil_to(Bs, SUBLANES)))
