@@ -82,3 +82,18 @@ def test_adversarial_cases():
                 r = oracle.align_oracle(q, t, sp, mode=mode)
                 f = oracle_fast.align_oracle(q, t, sp, mode=mode)
                 assert r == f, (mode, sp, r, f)
+
+
+def test_fill_equal_at_gate_scale():
+    """One moderate-size case (~400bp): the CLI parity gate trusts
+    oracle_fast at kb scale, so check equality well beyond the small
+    randomized sweep above (scalar oracle cost caps the size here)."""
+    rng = np.random.default_rng(42)
+    q = rng.integers(0, 20, 380).astype(np.int32)
+    t = rng.integers(0, 20, 420).astype(np.int32)
+    r = oracle.sw_affine(q, t, BL62)
+    f = oracle_fast.sw_affine(q, t, BL62)
+    assert r == f
+    r2 = oracle.nw_affine(q, t, BL62)
+    f2 = oracle_fast.nw_affine(q, t, BL62)
+    assert r2 == f2
