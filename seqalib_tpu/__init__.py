@@ -46,3 +46,13 @@ def align_all_vs_all(queries, references, **kw):
     from .api import align_all_vs_all as _ava
 
     return _ava(queries, references, **kw)
+
+
+def align_score_sp(query, target, scoring, mesh, **kw):
+    """Global affine score of ONE long pair computed cooperatively by every
+    device on ``mesh``'s 'band' axis (sequence parallelism — row-block x
+    column-tile pipeline with ppermute boundary streaming).  See
+    `seqalib_tpu.parallel.band_pipeline.nw_affine_score_sp`."""
+    from .parallel.band_pipeline import nw_affine_score_sp
+
+    return nw_affine_score_sp(query, target, scoring, mesh, **kw)
