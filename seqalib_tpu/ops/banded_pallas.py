@@ -394,6 +394,7 @@ def build_packed_profile_np(qk: np.ndarray, table: np.ndarray) -> np.ndarray:
         "profile",
         "emode",
         "stream",
+        "nsub",
     ),
 )
 def band_fill_range(
@@ -423,6 +424,7 @@ def band_fill_range(
     profile=False,
     emode=False,
     stream=False,
+    nsub=None,
 ):
     """Fill anti-diagonals [k_start, k_end) resuming from state_in.
 
@@ -436,10 +438,14 @@ def band_fill_range(
     NS = n_band_state(profile, emode)
     import os as _os
 
-    # substeps unrolled per fori iteration.  NOTE: read at trace time and
-    # NOT part of the jit cache key — set it per process (the sweep runs
-    # each variant in its own process), never toggle it mid-process.
-    NSUB = int(_os.environ.get("SEQALIB_BAND_NSUB", "4"))
+    # substeps unrolled per fori iteration.  `nsub` (a static arg) wins;
+    # the env knob is the sweep override.  NOTE: the env value is read at
+    # trace time and NOT part of the jit cache key — set it per process
+    # (the sweep runs each variant in its own process), never toggle it
+    # mid-process.
+    NSUB = nsub if nsub is not None else int(
+        _os.environ.get("SEQALIB_BAND_NSUB", "4")
+    )
     if CK % NSUB != 0:
         raise ValueError(f"SEQALIB_BAND_NSUB={NSUB} must divide CK={CK}")
     span = _ceil_to(k_end - k_start, max(CK, NSUB))

@@ -103,10 +103,14 @@ NEG_INF16 = -20000  # int16-mode -inf: loses every max, survives one gap step
 
 def fused_wr() -> int:
     """Row window of the fused two-pass start recovery, a strip multiple.
-    Default 4*TI=512: random 1kb BLOSUM62 protein pairs measure spans up
-    to 398 (128-pair bench batch, seed 0 — median 69, one pair past the
-    old 384 default); longer spans escalate to the host path."""
-    return _ceil_to(int(_os.environ.get("SEQALIB_FUSED_WR", str(4 * TI))), TI)
+    Default 3*TI=384: random 1kb BLOSUM62 protein pairs measure spans up
+    to 398 (128-pair bench batch, seed 0 — median 69), so exactly one
+    pair escalates to the (correct, slower) host rescan while the pass-2
+    k-budget drops ~25% (on-chip sweep 2026-08-19: WR=384 -> 40-41.6
+    GCUPS vs WR=512 -> 38.2-38.8 clean; WR=256 -> 41-42.2 but 2/128
+    escalations sits at the bench gate's cap).  Escalation is a score
+    check, never a correctness trade."""
+    return _ceil_to(int(_os.environ.get("SEQALIB_FUSED_WR", str(3 * TI))), TI)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -1350,6 +1354,15 @@ def _strip_local_fused(
             interpret=interpret,
             profile=profile,
             emode=True,
+            # tuned default for THIS call site (on-chip sweep 2026-08-19:
+            # NSUB 8/16/32 -> 38.0/38.8/38.6 at WR=512, ~40-42 at
+            # WR=256-384); the global banded default (4) stays put for the
+            # config-4 traceback path, which was not re-swept.  Interpret
+            # mode keeps 4: unrolling 32 substeps only bloats CPU-test
+            # trace time.
+            nsub=int(
+                _os.environ.get("SEQALIB_BAND_NSUB", "4" if interpret else "32")
+            ),
         )
         BVb, BKb = st_out[-2], st_out[-1]
         # decode: slot p on diagonal k is cell i = ihat(k) + p, j = k - i
