@@ -116,6 +116,7 @@ def _band_kernel(
     profile: bool,
     emode: bool,
     stream: bool,
+    steady: bool,
     WQW: int,
     WTW: int,
 ):
@@ -190,7 +191,7 @@ def _band_kernel(
             blk = ref[gi, :, pl.ds(off, LANES)]
         return jnp.sum(jnp.where(lane128 == (xs - off), blk, 0), axis=1, keepdims=True)
 
-    def substep(k, st):
+    def substep(k, st, dstat=None):
         H1, H2, E1, F1 = st[:4]
         if emode:
             qws = list(st[4:-3])
@@ -201,17 +202,29 @@ def _band_kernel(
         live = k < K
 
         ih = ihat(k)
-        d1 = ih - ihat(k - 1)  # {0, 1}
-        d2 = ih - ihat(k - 2)  # {0, 1, 2}
+        if dstat is not None:
+            # steady zone (k >= dhi+1): the ihat deltas are pure parity
+            # functions of k, precomputed as PYTHON ints by `group` — every
+            # roll below gets a static shift (half of them shift-0 no-ops)
+            d1, d2 = dstat
+        else:
+            d1 = ih - ihat(k - 1)  # {0, 1}
+            d2 = ih - ihat(k - 2)  # {0, 1, 2}
+
+        def roll1(x, s):
+            # pltpu.roll with a static-0 shift folded away
+            if isinstance(s, int) and s % Wp == 0:
+                return x
+            return pltpu.roll(x, s, axis=1)
 
         # sliding windows (QW/PWg[p] = src[ih+p-1], TW[p] = t[k-ih-p-1])
         for gi in range(len(qws)):
-            w = pltpu.roll(qws[gi], -d1, axis=1)
+            w = roll1(qws[gi], -d1)
             top = col(qsrc, ih + Wp - 1 - qbase, gi if profile else None)
             qws[gi] = jnp.where(
                 parr == Wp - 1, jnp.broadcast_to(top, (B, Wp)), w
             )
-        TW = pltpu.roll(TW, 1 - d1, axis=1)
+        TW = roll1(TW, 1 - d1)
         tlow = col(tsrc, k - ih - tbase)
         TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
 
@@ -227,11 +240,11 @@ def _band_kernel(
             s_vec = jnp.where(qws[0] == TW, jnp.int32(match), jnp.int32(mismatch))
 
         # neighbors: l = H[k-1][p+d1], u = H[k-1][p+d1-1], d = H[k-2][p+d2-1]
-        Hl = pltpu.roll(H1, -d1, axis=1)
-        Hu = pltpu.roll(H1, 1 - d1, axis=1)
-        Hd = pltpu.roll(H2, 1 - d2, axis=1)
-        El = pltpu.roll(E1, -d1, axis=1)
-        Fu = pltpu.roll(F1, 1 - d1, axis=1)
+        Hl = roll1(H1, -d1)
+        Hu = roll1(H1, 1 - d1)
+        Hd = roll1(H2, 1 - d2)
+        El = roll1(E1, -d1)
+        Fu = roll1(F1, 1 - d1)
 
         oe = jnp.int32(o + e)
         E_ext = El + e
@@ -247,9 +260,12 @@ def _band_kernel(
         ptr = jnp.where(d == best, PTR_DIAG, jnp.where(Fn == best, PTR_UP, PTR_LEFT))
         Hn = best
 
-        origin = (k == 0) & (ivec == 0)
-        Hn = jnp.where(origin, 0, Hn)
-        ptr = jnp.where(origin, PTR_STOP, ptr)
+        if dstat is None:
+            origin = (k == 0) & (ivec == 0)
+            Hn = jnp.where(origin, 0, Hn)
+            ptr = jnp.where(origin, PTR_STOP, ptr)
+        else:
+            origin = False  # steady zone starts past k=0 (asserted)
 
         if emode:
             # EXTENSION mode drops the per-cell band/validity mask:
@@ -284,8 +300,11 @@ def _band_kernel(
                 & (jvec >= 0)
                 & (jvec <= tlenv)
             )
-            ok = ok & ~origin
-            Hn = jnp.where(origin, 0, jnp.where(ok, Hn, NEG))
+            if dstat is None:
+                ok = ok & ~origin
+                Hn = jnp.where(origin, 0, jnp.where(ok, Hn, NEG))
+            else:
+                Hn = jnp.where(ok, Hn, NEG)
             En = jnp.where(ok, En, NEG)
             Fn = jnp.where(ok, Fn, NEG)
 
@@ -318,7 +337,15 @@ def _band_kernel(
     def group(gi, st):
         k0 = k_start + g * CK + gi * NSUB
         for u in range(NSUB):
-            st = substep(k0 + u, st)
+            if steady:
+                # parity(k) == parity(k_start + u): g*CK and gi*NSUB are
+                # even (asserted in band_fill_range), so the ihat deltas
+                # are static per unrolled substep: d1 = 1 iff (k + dhi)
+                # odd, d2 = 1 (linear zone k >= dhi+1)
+                d1s = 1 if (k_start + u + dhi) % 2 == 1 else 0
+                st = substep(k0 + u, st, (d1s, 1))
+            else:
+                st = substep(k0 + u, st)
         return st
 
     st0 = tuple(state_scratch[a][:] for a in range(NS))
@@ -395,6 +422,7 @@ def build_packed_profile_np(qk: np.ndarray, table: np.ndarray) -> np.ndarray:
         "emode",
         "stream",
         "nsub",
+        "steady",
     ),
 )
 def band_fill_range(
@@ -425,6 +453,7 @@ def band_fill_range(
     emode=False,
     stream=False,
     nsub=None,
+    steady=False,
 ):
     """Fill anti-diagonals [k_start, k_end) resuming from state_in.
 
@@ -448,6 +477,13 @@ def band_fill_range(
     )
     if CK % NSUB != 0:
         raise ValueError(f"SEQALIB_BAND_NSUB={NSUB} must divide CK={CK}")
+    if steady:
+        # the static-roll specialization needs (a) parity(k) derivable
+        # from k_start + u alone and (b) every k in the linear ihat zone
+        if NSUB % 2 or CK % 2:
+            raise ValueError(f"steady requires even NSUB/CK, got {NSUB}/{CK}")
+        if k_start < dhi + 1:
+            raise ValueError(f"steady requires k_start >= dhi+1, got {k_start}")
     span = _ceil_to(k_end - k_start, max(CK, NSUB))
     NCHUNK = span // CK
     grid = (NCHUNK,)
@@ -478,6 +514,7 @@ def band_fill_range(
         profile=profile,
         emode=emode,
         stream=stream,
+        steady=steady,
         WQW=WQW,
         WTW=WTW,
     )

@@ -1329,17 +1329,16 @@ def _strip_local_fused(
             ],
             axis=0,
         )
-        _, st_out, _, _ = band_fill_range(
-            qin_b,
-            tkb,
-            qlen2,
-            te2b,
-            jnp.full((B,), -BW, jnp.int32),
-            jnp.full((B,), BW, jnp.int32),
-            state0b,
-            jnp.full((B, Wpb), NEGj),
-            k_start=0,
-            k_end=Kp,
+        # tuned default for THIS call site (on-chip sweep 2026-08-19:
+        # NSUB 8/16/32 -> 38.0/38.8/38.6 at WR=512, ~40-42 at
+        # WR=256-384); the global banded default (4) stays put for the
+        # config-4 traceback path, which was not re-swept.  Interpret
+        # mode keeps 4: unrolling 32 substeps only bloats CPU-test
+        # trace time.
+        nsub_f = int(
+            _os.environ.get("SEQALIB_BAND_NSUB", "4" if interpret else "32")
+        )
+        fillkw = dict(
             K=Kp,
             Wp=Wpb,
             dlo=-BW,
@@ -1354,16 +1353,44 @@ def _strip_local_fused(
             interpret=interpret,
             profile=profile,
             emode=True,
-            # tuned default for THIS call site (on-chip sweep 2026-08-19:
-            # NSUB 8/16/32 -> 38.0/38.8/38.6 at WR=512, ~40-42 at
-            # WR=256-384); the global banded default (4) stays put for the
-            # config-4 traceback path, which was not re-swept.  Interpret
-            # mode keeps 4: unrolling 32 substeps only bloats CPU-test
-            # trace time.
-            nsub=int(
-                _os.environ.get("SEQALIB_BAND_NSUB", "4" if interpret else "32")
-            ),
+            nsub=nsub_f,
         )
+        fillargs = (
+            qin_b,
+            tkb,
+            qlen2,
+            te2b,
+            jnp.full((B,), -BW, jnp.int32),
+            jnp.full((B,), BW, jnp.int32),
+        )
+        score_neg = jnp.full((B, Wpb), NEGj)
+        # split-steady: chunk 0 generic, the rest with static parity-
+        # derived roll shifts (half the rolls fold to no-ops).  Values
+        # are identical — k >= CKb=128 > BW+1 is in the linear ihat zone
+        # and the resume protocol carries BV/BK in the state.
+        split = (
+            _os.environ.get("SEQALIB_FUSED_SPLIT", "0") == "1"
+            and Kp > CKb
+            and CKb >= BW + 1
+            and nsub_f % 2 == 0
+        )
+        if split:
+            _, st_mid, _, _ = band_fill_range(
+                *fillargs, state0b, score_neg, k_start=0, k_end=CKb, **fillkw
+            )
+            _, st_out, _, _ = band_fill_range(
+                *fillargs,
+                st_mid,
+                score_neg,
+                k_start=CKb,
+                k_end=Kp,
+                steady=True,
+                **fillkw,
+            )
+        else:
+            _, st_out, _, _ = band_fill_range(
+                *fillargs, state0b, score_neg, k_start=0, k_end=Kp, **fillkw
+            )
         BVb, BKb = st_out[-2], st_out[-1]
         # decode: slot p on diagonal k is cell i = ihat(k) + p, j = k - i
         iv = jnp.maximum(0, (BKb - BW + 1) // 2) + jnp.arange(
