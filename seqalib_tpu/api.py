@@ -107,6 +107,7 @@ def _avall_key(qs, rs, chunk_pairs: int, sp: ScoringParams, mode: str) -> str:
     h.update(
         str(
             (
+                "avall-v2-grouped",  # chunk layout version: bucket-grouped
                 len(qs),
                 len(rs),
                 chunk_pairs,
@@ -155,8 +156,16 @@ def align_all_vs_all(
     writes ``chunk_NNNNNN.npz`` atomically (tmp + rename); a rerun with
     the same inputs and chunking loads finished shards instead of
     realigning them.
+
+    Scale notes (contract scale = 10k x 1k = 10M pairs, BASELINE.json:11):
+    both sides are padded into per-bucket matrices ONCE and each chunk is
+    a vectorized row-gather of the cross product — no per-pair Python
+    objects anywhere on the hot path (10M AlignResult constructions cost
+    more than the kernels).  The dense output dict is 5 x nq x nr int32 =
+    20 bytes/pair host RAM (200 MB at contract scale); beyond ~100M pairs
+    stream the per-chunk shards to disk via ``resume_dir`` and reduce
+    them instead of materializing `out`.
     """
-    import itertools
     import logging
     import os
 
@@ -175,56 +184,97 @@ def align_all_vs_all(
         os.makedirs(resume_dir, exist_ok=True)
         key = _avall_key(qs, rs, chunk_pairs, sp, mode)
 
-    # the (i, j) product is streamed lazily: at config-5 scale (10k x 1k =
-    # 10M pairs) materializing the index list up front stalls in pure
-    # Python before any kernel runs (VERDICT.md round-1 item 6)
-    it = itertools.product(range(nq), range(nr))
+    from .parallel.dispatch import _pad_stack, bucket_len, run_bucket
+
+    def _groups(seqs):
+        g = {}
+        for i, s in enumerate(seqs):
+            g.setdefault(bucket_len(len(s)), []).append(i)
+        return {
+            bl: (
+                np.asarray(idx, np.int64),
+                _pad_stack([seqs[i] for i in idx], bl),
+                np.asarray([len(seqs[i]) for i in idx], np.int32),
+            )
+            for bl, idx in sorted(g.items())
+        }
+
+    qg = _groups(qs)
+    rg = _groups(rs)
+
     ci = 0
     resumed = 0
-    while True:
-        chunk = list(itertools.islice(it, chunk_pairs))
-        if not chunk:
-            break
-        shard = (
-            os.path.join(resume_dir, f"chunk_{ci:06d}.npz")
-            if resume_dir is not None
-            else None
-        )
-        ci += 1
-        ii = np.fromiter((i for i, _ in chunk), np.int64, len(chunk))
-        jj = np.fromiter((j for _, j in chunk), np.int64, len(chunk))
-        if shard is not None and os.path.exists(shard):
-            vals = np.load(shard)
-            kv = str(vals["key"]) if "key" in vals.files else ""
-            if int(vals["n"]) == len(chunk) and kv == key:
+    for qbl, (qidx, Qmat, qleng) in qg.items():
+        for rbl, (ridx, Rmat, rleng) in rg.items():
+            NRg = len(ridx)
+            total = len(qidx) * NRg
+            for lo in range(0, total, chunk_pairs):
+                hi = min(lo + chunk_pairs, total)
+                shard = (
+                    os.path.join(resume_dir, f"chunk_{ci:06d}.npz")
+                    if resume_dir is not None
+                    else None
+                )
+                ci += 1
+                flat = np.arange(lo, hi, dtype=np.int64)
+                ai = flat // NRg
+                bj = flat % NRg
+                ii = qidx[ai]
+                jj = ridx[bj]
+                if shard is not None and os.path.exists(shard):
+                    vals = np.load(shard)
+                    kv = str(vals["key"]) if "key" in vals.files else ""
+                    if int(vals["n"]) == len(flat) and kv == key:
+                        si = vals["ii"] if "ii" in vals.files else ii
+                        sj = vals["jj"] if "jj" in vals.files else jj
+                        for f in fields:
+                            out[f][si, sj] = vals[f]
+                        resumed += 1
+                        continue
+                    log.warning(
+                        "resume shard %s is stale (inputs or chunking "
+                        "changed); recomputing",
+                        shard,
+                    )
+                Qc, Rc = Qmat[ai], Rmat[bj]
+                qlc, rlc = qleng[ai], rleng[bj]
+                if mesh is not None:
+                    # zero-length sentinel tail: the sharded paths need the
+                    # batch divisible by the mesh axis (dispatch_batch's
+                    # pad_batch_to, kept here since we bypass it)
+                    from .parallel.dist import PAIR_AXIS
+
+                    padn = (-len(flat)) % mesh.shape[PAIR_AXIS]
+                    if padn:
+                        Qc = np.concatenate(
+                            [Qc, np.zeros((padn, Qc.shape[1]), Qc.dtype)]
+                        )
+                        Rc = np.concatenate(
+                            [Rc, np.zeros((padn, Rc.shape[1]), Rc.dtype)]
+                        )
+                        qlc = np.concatenate([qlc, np.zeros(padn, np.int32)])
+                        rlc = np.concatenate([rlc, np.zeros(padn, np.int32)])
+                res = run_bucket(
+                    Qc,
+                    Rc,
+                    qlc,
+                    rlc,
+                    sp,
+                    mode,
+                    None,
+                    backend,
+                    False,
+                    mesh=mesh,
+                )
+                vals = {f: np.asarray(res[f][: len(flat)], np.int32)
+                        for f in fields}
                 for f in fields:
                     out[f][ii, jj] = vals[f]
-                resumed += 1
-                continue
-            log.warning("resume shard %s is stale (inputs or chunking "
-                        "changed); recomputing", shard)
-        res = align_batch(
-            [qs[i] for i, _ in chunk],
-            [rs[j] for _, j in chunk],
-            scoring=sp,
-            mode=mode,
-            backend=backend,
-            traceback=False,
-            mesh=mesh,
-        )
-        vals = {
-            "score": np.array([r.score for r in res], np.int32),
-            "qs": np.array([r.query_start for r in res], np.int32),
-            "qe": np.array([r.query_end for r in res], np.int32),
-            "ts": np.array([r.target_start for r in res], np.int32),
-            "te": np.array([r.target_end for r in res], np.int32),
-        }
-        for f in fields:
-            out[f][ii, jj] = vals[f]
-        if shard is not None:
-            tmp = shard + ".tmp.npz"
-            np.savez(tmp, n=np.int64(len(res)), key=key, **vals)
-            os.replace(tmp, shard)
+                if shard is not None:
+                    tmp = shard + ".tmp.npz"
+                    np.savez(tmp, n=np.int64(len(flat)), key=key,
+                             ii=ii, jj=jj, **vals)
+                    os.replace(tmp, shard)
     if resumed:
         log.info("align_all_vs_all resumed %d finished chunk shards", resumed)
     return out

@@ -99,15 +99,6 @@ def _bench_setup(args, cfg, rng):
             qs.append(q)
             ts.append(t.astype(np.uint8))
         mode, band, tb, mesh = "global", args.band, True, None
-    elif cfg == 5:  # batched all-vs-all SW, sharded over the mesh
-        from .parallel.dist import make_pair_mesh
-
-        sp = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
-        reads, _ = _synth(rng, args.reads, 256, 256, 4)
-        refs, _ = _synth(rng, args.refs, 1024, 1024, 4)
-        qs = [reads[i % len(reads)] for i in range(args.pairs)]
-        ts = [refs[i % len(refs)] for i in range(args.pairs)]
-        mode, band, tb, mesh = "local", None, False, make_pair_mesh()
     else:
         raise ValueError(f"unknown config {cfg}")
 
@@ -161,7 +152,88 @@ def _bench_parity(res, qs, ts, sp, mode, band, tb, n_check, backend="pallas"):
     return bad
 
 
+def _bench_five(args) -> dict:
+    """Config 5 (BASELINE.json:11): batched all-vs-all SW — every read
+    against every reference through align_all_vs_all (lazy bucket-grouped
+    product, chunked, optionally resume-sharded, sharded over the mesh).
+    Contract scale is --reads 10000 --refs 1000 (10M pairs); the default
+    is a small smoke so `bench all` stays fast.  Reported pairs/sec and
+    GCUPS are end-to-end wall over the full product."""
+    from .api import align_all_vs_all
+    from .parallel.dist import make_pair_mesh
+    from .types import ScoringParams
+
+    rng = np.random.default_rng(args.seed)
+    sp = ScoringParams(match=2, mismatch=-3, gap_open=0, gap_extend=-2)
+    reads, _ = _synth(rng, args.reads, args.read_len, args.read_len, 4)
+    refs, _ = _synth(rng, args.refs, args.ref_len, args.ref_len, 4)
+    mesh = make_pair_mesh()
+
+    kw = dict(
+        scoring=sp,
+        mode="local",
+        backend=args.backend,
+        mesh=mesh,
+        chunk_pairs=args.chunk_pairs,
+    )
+    # warmup on a tiny subset: compiles every bucket-shape program the
+    # full product will hit without paying the product twice
+    align_all_vs_all(reads[: min(64, len(reads))],
+                     refs[: min(8, len(refs))], **kw)
+    ctx = None
+    if args.trace:
+        import jax
+
+        ctx = jax.profiler.trace(args.trace)
+        ctx.__enter__()
+    t_start = time.perf_counter()
+    out = align_all_vs_all(reads, refs, resume_dir=args.resume_dir, **kw)
+    dt = time.perf_counter() - t_start
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
+
+    n_pairs = len(reads) * len(refs)
+    cells = int(sum(len(q) for q in reads)) * int(sum(len(r) for r in refs))
+    res = {
+        "config": 5,
+        "pairs": n_pairs,
+        "reads": len(reads),
+        "refs": len(refs),
+        "wall_s": round(dt, 3),
+        "pairs_per_sec": round(n_pairs / dt, 1),
+        "gcups_end_to_end": round(cells / dt / 1e9, 3),
+        "backend": args.backend,
+        "chunk_pairs": args.chunk_pairs,
+        "devices": int(np.prod(list(mesh.shape.values()))),
+    }
+    if args.parity_check:
+        from .oracle_fast import align_oracle
+
+        prng = np.random.default_rng(args.seed + 1)
+        n_check = min(args.parity_pairs, n_pairs)
+        bad = 0
+        for _ in range(n_check):
+            i = int(prng.integers(len(reads)))
+            j = int(prng.integers(len(refs)))
+            ref = align_oracle(reads[i], refs[j], sp, mode="local")
+            same = (
+                int(out["score"][i, j]) == ref.score
+                and int(out["qs"][i, j]) == ref.query_start
+                and int(out["qe"][i, j]) == ref.query_end
+                and int(out["ts"][i, j]) == ref.target_start
+                and int(out["te"][i, j]) == ref.target_end
+            )
+            bad += 0 if same else 1
+        res["parity_pairs"] = n_check
+        res["parity_ok"] = bad == 0
+        if bad:
+            res["parity_failures"] = bad
+    return res
+
+
 def _bench_one(args, cfg) -> dict:
+    if cfg == 5:
+        return _bench_five(args)
     rng = np.random.default_rng(args.seed)
     sp, qs, ts, run, mode, band, tb = _bench_setup(args, cfg, rng)
     run()  # warmup: compile + caches
@@ -238,8 +310,16 @@ def main(argv=None) -> int:
     pb = sub.add_parser("bench", help="run a BASELINE benchmark config")
     pb.add_argument("config", choices=["1", "2", "3", "4", "5", "all"])
     pb.add_argument("--pairs", type=int, default=64)
-    pb.add_argument("--reads", type=int, default=64)
-    pb.add_argument("--refs", type=int, default=8)
+    pb.add_argument("--reads", type=int, default=64,
+                    help="config 5: number of short reads (contract: 10000)")
+    pb.add_argument("--refs", type=int, default=8,
+                    help="config 5: number of references (contract: 1000)")
+    pb.add_argument("--read-len", type=int, default=256)
+    pb.add_argument("--ref-len", type=int, default=1024)
+    pb.add_argument("--chunk-pairs", type=int, default=8192,
+                    help="config 5: pairs per device batch / resume shard")
+    pb.add_argument("--resume-dir", default=None,
+                    help="config 5: chunk-shard checkpoint/resume directory")
     pb.add_argument("--band", type=int, default=128)
     pb.add_argument("--long-len", type=int, default=10000)
     pb.add_argument("--backend", default="pallas")

@@ -212,21 +212,35 @@ def _band_kernel(
             d2 = ih - ihat(k - 2)  # {0, 1, 2}
 
         def roll1(x, s):
-            # pltpu.roll with a static-0 shift folded away
-            if isinstance(s, int) and s % Wp == 0:
-                return x
+            # pltpu.roll with a static shift: fold 0 away, normalize
+            # negatives mod Wp (the op is circular but rejects negative
+            # STATIC shifts at lowering; traced shifts are wrapped by the
+            # hardware path)
+            if isinstance(s, int):
+                s %= Wp
+                if s == 0:
+                    return x
             return pltpu.roll(x, s, axis=1)
 
-        # sliding windows (QW/PWg[p] = src[ih+p-1], TW[p] = t[k-ih-p-1])
-        for gi in range(len(qws)):
-            w = roll1(qws[gi], -d1)
-            top = col(qsrc, ih + Wp - 1 - qbase, gi if profile else None)
-            qws[gi] = jnp.where(
-                parr == Wp - 1, jnp.broadcast_to(top, (B, Wp)), w
-            )
-        TW = roll1(TW, 1 - d1)
-        tlow = col(tsrc, k - ih - tbase)
-        TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
+        # sliding windows (QW/PWg[p] = src[ih+p-1], TW[p] = t[k-ih-p-1]).
+        # With STATIC deltas (steady zone) the redundant half of the
+        # maintenance drops out: d1 == 0 leaves ihat (hence every query
+        # window) bit-identical — the roll is shift-0 and the insert
+        # rewrites slot Wp-1 with its own value; d1 == 1 leaves k - ihat
+        # (hence TW) bit-identical the same way.  Skipping them is exact,
+        # not approximate, and removes ~half the col() cross-lane reduces
+        # per substep (VERDICT.md round-2 item 1's second audit target).
+        if dstat is None or d1 == 1:
+            for gi in range(len(qws)):
+                w = roll1(qws[gi], -d1)
+                top = col(qsrc, ih + Wp - 1 - qbase, gi if profile else None)
+                qws[gi] = jnp.where(
+                    parr == Wp - 1, jnp.broadcast_to(top, (B, Wp)), w
+                )
+        if dstat is None or d1 == 0:
+            TW = roll1(TW, 1 - d1)
+            tlow = col(tsrc, k - ih - tbase)
+            TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
 
         ivec = ih + parr
         jvec = k - ivec

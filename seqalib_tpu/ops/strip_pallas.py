@@ -103,14 +103,19 @@ NEG_INF16 = -20000  # int16-mode -inf: loses every max, survives one gap step
 
 def fused_wr() -> int:
     """Row window of the fused two-pass start recovery, a strip multiple.
-    Default 3*TI=384: random 1kb BLOSUM62 protein pairs measure spans up
-    to 398 (128-pair bench batch, seed 0 — median 69), so exactly one
-    pair escalates to the (correct, slower) host rescan while the pass-2
-    k-budget drops ~25% (on-chip sweep 2026-08-19: WR=384 -> 40-41.6
-    GCUPS vs WR=512 -> 38.2-38.8 clean; WR=256 -> 41-42.2 but 2/128
-    escalations sits at the bench gate's cap).  Escalation is a score
-    check, never a correctness trade."""
-    return _ceil_to(int(_os.environ.get("SEQALIB_FUSED_WR", str(3 * TI))), TI)
+    Default 4*TI=512: random 1kb BLOSUM62 protein pairs measure spans up
+    to 398 (128-pair bench batch, seed 0 — median 69), so 512 clears the
+    whole batch with ZERO escalations — the round-3 headline policy is a
+    clean timed region over a flattering one (VERDICT.md round-2 weak 1).
+    With the split-steady pass-2 specialization on (round 3), WR=512
+    measures 43.8-44.1 GCUPS clean vs WR=384's 45.2 with 1/128 escalated
+    out of the timed region — the ~1 GCUPS delta is not worth the
+    asterisk.  Escalation is a score check, never a correctness trade.
+    NOTE for WR tuners: the pass-2 column clamp scales with WR (~2*WR),
+    so lowering WR also widens the knife-edge co-optimal-tie exposure
+    class (b) in _strip_local_fused's docstring (ties with > ~WR net
+    deletions) — account for both before shrinking it."""
+    return _ceil_to(int(_os.environ.get("SEQALIB_FUSED_WR", str(4 * TI))), TI)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -780,6 +785,70 @@ def _prep_strip(q, t, qlen, tlen, table_h, *, gap_open, gap_extend, affine):
     return qpad, t2, kwc
 
 
+def _global_post(
+    bv,
+    P_raw,
+    qlen,
+    tlen,
+    *,
+    affine,
+    gap_open,
+    gap_extend,
+    want_tb,
+    BSUB,
+    B0,
+    n_pad,
+    NB,
+):
+    """Global-mode (NW) host assembly shared by strip_bucket and the
+    sharded path (parallel.dist.strip_sharded): score capture at
+    H(qlen, tlen), degenerate all-gap rows, and (want_tb) the pointer
+    walk to CIGARs.  ``bv`` is the (B, TI) final-score capture, ``P_raw``
+    the packed pointer stream (None when !want_tb)."""
+    B = len(qlen)
+    barr0 = np.arange(B)
+    score = bv[barr0, (np.maximum(qlen, 1) - 1) % TI]
+    # degenerate rows: all-gap alignments, resolved without the kernel
+    go = gap_open if affine else 0
+    degq = qlen == 0
+    degt = tlen == 0
+    score = np.where(degq, go + tlen * gap_extend, score)
+    score = np.where(degt, go + qlen * gap_extend, score)
+    score = np.where(degq & degt, 0, score)
+    out = {
+        "score": score.astype(np.int32),
+        "qs": np.zeros(B, np.int32),
+        "qe": qlen.astype(np.int32),
+        "ts": np.zeros(B, np.int32),
+        "te": tlen.astype(np.int32),
+    }
+    if want_tb:
+        GB = B // BSUB
+        S_ = n_pad // TI
+        P = np.asarray(P_raw).reshape(GB, S_, NB * LANES, BSUB, TI)
+        deg = degq | degt
+        cigars, _, _ = _strip_walk(
+            P,
+            qlen.astype(np.int64),
+            tlen.astype(np.int64),
+            deg,
+            bool(affine),
+            BSUB,
+            global_mode=True,
+        )
+        for b in np.nonzero(deg)[0]:
+            c = ""
+            if tlen[b]:
+                c += f"{tlen[b]}D"
+            if qlen[b]:
+                c += f"{qlen[b]}I"
+            cigars[b] = c
+        res2 = {k: v[:B0] for k, v in out.items()}
+        res2["cigars"] = cigars[:B0]
+        return res2
+    return {k: v[:B0] for k, v in out.items()}
+
+
 def strip_bucket(
     q,
     t,
@@ -940,48 +1009,21 @@ def strip_bucket(
         bv = np.asarray(res["bv"]).astype(np.int32)  # (B, 128)
         bk = np.asarray(res["bk"])
     stride = m + 1
-    barr0 = np.arange(B)
     if gmode:
-        score = bv[barr0, (np.maximum(qlen, 1) - 1) % TI]
-        # degenerate rows: all-gap alignments, resolved without the kernel
-        go = gap_open if affine else 0
-        degq = qlen == 0
-        degt = tlen == 0
-        score = np.where(degq, go + tlen * gap_extend, score)
-        score = np.where(degt, go + qlen * gap_extend, score)
-        score = np.where(degq & degt, 0, score)
-        out = {
-            "score": score.astype(np.int32),
-            "qs": np.zeros(B, np.int32),
-            "qe": qlen.astype(np.int32),
-            "ts": np.zeros(B, np.int32),
-            "te": tlen.astype(np.int32),
-        }
-        if want_tb:
-            GB = B // BSUB
-            S_ = n_pad // TI
-            P = np.asarray(res["P"]).reshape(GB, S_, NB * LANES, BSUB, TI)
-            deg = degq | degt
-            cigars, _, _ = _strip_walk(
-                P,
-                qlen.astype(np.int64),
-                tlen.astype(np.int64),
-                deg,
-                bool(affine),
-                BSUB,
-                global_mode=True,
-            )
-            for b in np.nonzero(deg)[0]:
-                c = ""
-                if tlen[b]:
-                    c += f"{tlen[b]}D"
-                if qlen[b]:
-                    c += f"{qlen[b]}I"
-                cigars[b] = c
-            res2 = {k: v[:B0] for k, v in out.items()}
-            res2["cigars"] = cigars[:B0]
-            return res2
-        return {k: v[:B0] for k, v in out.items()}
+        return _global_post(
+            bv,
+            res.get("P"),
+            qlen,
+            tlen,
+            affine=bool(affine),
+            gap_open=gap_open,
+            gap_extend=gap_extend,
+            want_tb=want_tb,
+            BSUB=BSUB,
+            B0=B0,
+            n_pad=n_pad,
+            NB=NB,
+        )
     if not need_starts:
         score, qe, te = _reduce_best(bv, bk, stride)
         return {
@@ -1369,7 +1411,7 @@ def _strip_local_fused(
         # are identical — k >= CKb=128 > BW+1 is in the linear ihat zone
         # and the resume protocol carries BV/BK in the state.
         split = (
-            _os.environ.get("SEQALIB_FUSED_SPLIT", "0") == "1"
+            _os.environ.get("SEQALIB_FUSED_SPLIT", "1") == "1"
             and Kp > CKb
             and CKb >= BW + 1
             and nsub_f % 2 == 0

