@@ -98,7 +98,7 @@ def _bench_setup(args, cfg, rng):
             t[idx] = (t[idx] + 1 + rng.integers(0, 3, len(idx))) % 4
             qs.append(q)
             ts.append(t.astype(np.uint8))
-        mode, band, tb, mesh = "global", args.band, True, None
+        mode, band, tb, mesh = "global", args.band, not args.no_tb, None
     else:
         raise ValueError(f"unknown config {cfg}")
 
@@ -322,6 +322,9 @@ def main(argv=None) -> int:
                     help="config 5: chunk-shard checkpoint/resume directory")
     pb.add_argument("--band", type=int, default=128)
     pb.add_argument("--long-len", type=int, default=10000)
+    pb.add_argument("--no-tb", action="store_true",
+                    help="config 4: fill-only (skip checkpointed traceback)"
+                    " — isolates the banded kernel's compute-bound GCUPS")
     pb.add_argument("--backend", default="pallas")
     pb.add_argument("--seed", type=int, default=0)
     pb.add_argument("--parity-check", action="store_true")

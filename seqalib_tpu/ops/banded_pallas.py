@@ -214,12 +214,18 @@ def _band_kernel(
         def roll1(x, s):
             # pltpu.roll with a static shift: fold 0 away, normalize
             # negatives mod Wp (the op is circular but rejects negative
-            # STATIC shifts at lowering; traced shifts are wrapped by the
-            # hardware path)
+            # STATIC shifts at lowering).  Traced shifts MUST also be
+            # normalized to non-negative: Mosaic miscompiles dynamic
+            # NEGATIVE shifts on non-power-of-two widths (Wp=384/640 —
+            # verified on-chip: roll(x, -1) returns garbage while
+            # roll(x, (-1) % Wp) is exact; power-of-two widths mask the
+            # bug).  One scalar rem per roll is noise next to the roll.
             if isinstance(s, int):
                 s %= Wp
                 if s == 0:
                     return x
+            else:
+                s = s % Wp
             return pltpu.roll(x, s, axis=1)
 
         # sliding windows (QW/PWg[p] = src[ih+p-1], TW[p] = t[k-ih-p-1]).

@@ -1,0 +1,103 @@
+"""Pin the fused pass-2 canonical-tie guarantee boundary.
+
+`_strip_local_fused`'s docstring derives two residual exposure classes
+where a knife-edge co-optimal TIE can return a non-canonical start
+WITHOUT escalating (escalation only catches score shortfalls, and a tie
+by definition has none).  This file constructs exposure class (a) — a
+tie whose canonical (min-ri) cell needs band imbalance > BW=64 in the
+banded pass-2 engine — and pins the behavior of both engines against
+the oracle (VERDICT.md round-2 item 7: the boundary must be
+regression-pinned, not just narrated).
+
+Construction (in pass-2 reversed space; scoring: diag +11, off -4,
+linear gap -1):
+
+  rq = [A-block 7][M-block 7][junk 28][N-block 7]            (49 rows)
+  rt = [A-block 7][junk][N-block 7 @43..49][junk][M @78..84] (84 cols)
+
+Two extension paths tie at the global max 84 = 7*11 - 70 + 7*11:
+  P1 (canonical, ri=14): A-block, 70 deletions, M-block -> cell (14, 84)
+     with d = +70 > BW — OUTSIDE the banded engine's slot window;
+  P2 (ri=49): A-block, 35I+35D, N-block -> cell (49, 49), in-band.
+Interior blocks alone score 77 < 84, and block order makes every other
+combination geometrically impossible, so the tie is exact and unique.
+"""
+
+import numpy as np
+import pytest
+
+from seqalib_tpu.oracle import align_oracle
+from seqalib_tpu.ops.strip_pallas import strip_bucket
+from seqalib_tpu.parallel.dispatch import sentinel_table
+from seqalib_tpu.types import ScoringParams
+
+
+def _tie_problem():
+    A = list(range(0, 7))
+    M = list(range(7, 14))
+    N = list(range(14, 21))
+    JQ, JT = 28, 29
+    rq = np.full(49, JQ, np.uint8)
+    rq[0:7] = A
+    rq[7:14] = M
+    rq[42:49] = N
+    rt = np.full(84, JT, np.uint8)
+    rt[0:7] = A
+    rt[42:49] = N
+    rt[77:84] = M
+    q = rq[::-1].copy()
+    t = rt[::-1].copy()
+    mat = np.full((30, 30), -4, np.int32)
+    for L in A + M + N:
+        mat[L, L] = 11
+    sp = ScoringParams(gap_open=0, gap_extend=-1, matrix=mat)
+    return q, t, sp
+
+
+def _run(q, t, sp, engine, monkeypatch):
+    monkeypatch.setenv("SEQALIB_FUSED_PASS2", engine)
+    return strip_bucket(
+        q[None, :].astype(np.int32),
+        t[None, :].astype(np.int32),
+        np.array([len(q)]),
+        np.array([len(t)]),
+        sentinel_table(sp),
+        mode="local",
+        gap_open=sp.gap_open,
+        gap_extend=sp.gap_extend,
+        affine=False,
+    )
+
+
+def test_oracle_tie_is_as_constructed():
+    q, t, sp = _tie_problem()
+    o = align_oracle(q, t, sp, mode="local")
+    # canonical (min-ri) start = the 70-deletion-imbalance path
+    assert (o.score, o.query_start, o.query_end, o.target_start, o.target_end) == (
+        84, 35, 49, 0, 84
+    )
+    assert o.cigar == "7M70D7M"
+
+
+def test_banded_engine_tie_exposure_is_pinned(monkeypatch):
+    """The banded pass-2 engine cannot see the canonical cell (d=+70 >
+    BW=64): it returns the in-band co-optimal start and — because the
+    tie has no score shortfall — does NOT escalate.  Score and end
+    coords remain exact.  If this test ever fails with qs == 35, the
+    exposure was closed — move the assertion, don't delete the test."""
+    q, t, sp = _tie_problem()
+    out = _run(q, t, sp, "banded", monkeypatch)
+    assert int(out["score"][0]) == 84
+    assert (int(out["qe"][0]), int(out["te"][0])) == (49, 84)
+    # the documented non-canonical (in-band) start, accepted silently
+    assert (int(out["qs"][0]), int(out["ts"][0])) == (0, 35)
+
+
+def test_strip_engine_returns_canonical_tie(monkeypatch):
+    """The strip pass-2 engine's column window covers the full target at
+    this scale, narrowing the exposure to class (b) only — it must
+    return the canonical start here (the docstring's mitigation claim)."""
+    q, t, sp = _tie_problem()
+    out = _run(q, t, sp, "strip", monkeypatch)
+    assert int(out["score"][0]) == 84
+    assert (int(out["qs"][0]), int(out["ts"][0])) == (35, 0)
