@@ -211,6 +211,9 @@ def banded_align_batch(
         interpret=interpret,
         profile=profile,
         stream=stream,
+        # resolved HERE (host boundary) so the env override is part of
+        # the jit cache key — band_fill_range no longer reads env itself
+        nsub=int(_os.environ.get("SEQALIB_BAND_NSUB", "4")),
     )
 
     # ---- pass 1: fill with checkpoints ----------------------------------

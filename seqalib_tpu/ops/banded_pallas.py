@@ -485,18 +485,15 @@ def band_fill_range(
     """
     B = qk.shape[1] if profile else qk.shape[0]
     NS = n_band_state(profile, emode)
-    import os as _os
 
-    # substeps unrolled per fori iteration.  `nsub` (a static arg) wins;
-    # the env knob is the sweep override.  NOTE: the env value is read at
-    # trace time and NOT part of the jit cache key — set it per process
-    # (the sweep runs each variant in its own process), never toggle it
-    # mid-process.
-    NSUB = nsub if nsub is not None else int(
-        _os.environ.get("SEQALIB_BAND_NSUB", "4")
-    )
+    # substeps unrolled per fori iteration.  `nsub` is a jit static arg —
+    # callers resolve any env override (SEQALIB_BAND_NSUB) at the host
+    # boundary (models/banded.band_nsub, strip_pallas.fused_pass2_knobs)
+    # so the value is always in the cache key; a trace-time env read here
+    # silently reused stale compiles after mid-process env changes.
+    NSUB = nsub if nsub is not None else 4
     if CK % NSUB != 0:
-        raise ValueError(f"SEQALIB_BAND_NSUB={NSUB} must divide CK={CK}")
+        raise ValueError(f"nsub={NSUB} must divide CK={CK}")
     if steady:
         # the static-roll specialization needs (a) parity(k) derivable
         # from k_start + u alone and (b) every k in the linear ihat zone

@@ -118,6 +118,27 @@ def fused_wr() -> int:
     return _ceil_to(int(_os.environ.get("SEQALIB_FUSED_WR", str(4 * TI))), TI)
 
 
+def fused_pass2_knobs(interpret: bool) -> dict:
+    """Resolve the fused pass-2 tuning knobs (engine, band, NSUB, split)
+    from the environment at the HOST boundary.  These become jit static
+    args of `_strip_local_fused`, i.e. part of its cache key — an env
+    read at TRACE time whose value is not in the key silently reuses a
+    stale compile after the env changes within one process (that exact
+    bug made the round-2 split/NSUB invariance tests vacuous: the second
+    call was a cache hit that never traced the toggled path)."""
+    env = _os.environ
+    nsub = env.get("SEQALIB_BAND_NSUB")
+    return dict(
+        pass2=env.get("SEQALIB_FUSED_PASS2", "banded"),
+        bw=int(env.get("SEQALIB_FUSED_BW", "64")),
+        # on-chip sweep 2026-08-19: NSUB 8/16/32 -> 38.0/38.8/38.6 at
+        # WR=512, ~40-42 at WR=256-384.  Interpret mode keeps 4:
+        # unrolling 32 substeps only bloats CPU-test trace time.
+        nsub=int(nsub) if nsub is not None else (4 if interpret else 32),
+        split=env.get("SEQALIB_FUSED_SPLIT", "1") == "1",
+    )
+
+
 def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -1000,8 +1021,7 @@ def strip_bucket(
         res = _strip_local_fused(
             *dev_args,
             WR=fused_wr(),
-            pass2=_os.environ.get("SEQALIB_FUSED_PASS2", "banded"),
-            bw=int(_os.environ.get("SEQALIB_FUSED_BW", "64")),
+            **fused_pass2_knobs(interpret),
             **kwc,
         )
     else:
@@ -1168,6 +1188,8 @@ def _reduce_best_jnp(bv, bk, stride):
         "WR",
         "pass2",
         "bw",
+        "nsub",
+        "split",
     ),
 )
 def _strip_local_fused(
@@ -1192,6 +1214,8 @@ def _strip_local_fused(
     WR=None,
     pass2="banded",
     bw=64,
+    nsub=None,
+    split=None,
 ):
     """Fused two-pass local coords, fully inside jit: the end-only local
     fill, the canonical-end reduce, the reversed-prefix gathers, and the
@@ -1227,7 +1251,10 @@ def _strip_local_fused(
     target at lengths <= ~2*WR, e.g. the whole 1kb contract domain).
     """
     if WR is None:
-        WR = fused_wr()
+        # pure default only — env overrides resolve at the host boundary
+        # (fused_wr()/fused_pass2_knobs() in strip_bucket/strip_sharded)
+        # so they always land in the jit cache key
+        WR = 4 * TI
     kw = dict(
         BSUB=BSUB,
         mq=mq,
@@ -1306,25 +1333,21 @@ def _strip_local_fused(
         Kp = _ceil_to(WR + min(TWD, WR + BW) + 1, CKb)
         qwidth_b = _ceil_to((Kp - BW) // 2 + Wpb + 2, LANES) + LANES
         twidth_b = _ceil_to(Kp + 2, LANES) + LANES
-        # 1-based letter arrays (banded convention: arr[:, x] = seq[x-1])
-        qkb = jnp.concatenate(
-            [
-                jnp.full((B, 1), SENT_Q, jnp.int32),
-                qr.astype(jnp.int32),
-                jnp.full((B, max(0, qwidth_b - 1 - WR)), SENT_Q, jnp.int32),
-            ],
-            axis=1,
-        )[:, :qwidth_b]
-        tkb = jnp.concatenate(
-            [
-                tr.astype(jnp.int32),
-                jnp.full((B, max(0, twidth_b - W2r)), SENT_T, jnp.int32),
-            ],
-            axis=1,
-        )[:, :twidth_b]
-        qlen2 = jnp.minimum(qe, WR).astype(jnp.int32)
-        te2b = jnp.minimum(te2, WR + BW).astype(jnp.int32)
         NEGj = jnp.int32(NEG_INF)
+        # pure defaults mirror fused_pass2_knobs(); env overrides never
+        # reach this body (they'd dodge the jit cache key — see
+        # fused_pass2_knobs' docstring for the vacuous-test incident)
+        nsub_f = nsub if nsub is not None else (4 if interpret else 32)
+        # split-steady: chunk 0 generic, the rest with static parity-
+        # derived roll shifts (half the rolls fold to no-ops).  Values
+        # are identical — k >= CKb=128 > BW+1 is in the linear ihat zone
+        # and the resume protocol carries BV/BK in the state.
+        split_f = (
+            (split if split is not None else True)
+            and Kp > CKb
+            and CKb >= BW + 1
+            and nsub_f % 2 == 0
+        )
         if profile:
             # the reversed-prefix profile is a flip+slice of the PASS-1
             # profile: a packed word is a pure function of the letter, and
@@ -1346,105 +1369,157 @@ def _strip_local_fused(
                 )
             )(proff, n_pad - qe)  # (B, G, WR): word of qpad[qe-1-k]
             prof_qr = jnp.where(karr[:, None, :] < qe[:, None, None], prof_qr, 0)
-            qin_b = jnp.concatenate(
+        else:
+            prof_qr = None
+
+        def _p2_banded(qr_c, tr_c, qe_c, te2_c, prof_c):
+            """Banded reverse-extension for one <=PC2-pair slice.
+
+            band_fill_range holds its whole batch resident in VMEM (no
+            batch grid), so an unchunked B=512 launch blows the 16M
+            scoped-vmem limit (measured 16.89M on-chip) — the kernel is
+            invoked per PC2-slice and lax.map'd below for large B.
+            """
+            Bc = qr_c.shape[0]
+            # 1-based letter arrays (banded convention: arr[:, x] = seq[x-1])
+            qkb = jnp.concatenate(
                 [
-                    jnp.zeros((B, 4, 1), jnp.int32),
-                    prof_qr.astype(jnp.int32),
-                    jnp.zeros(
-                        (B, 4, max(0, qwidth_b - 1 - WR)), jnp.int32
-                    ),
+                    jnp.full((Bc, 1), SENT_Q, jnp.int32),
+                    qr_c.astype(jnp.int32),
+                    jnp.full((Bc, max(0, qwidth_b - 1 - WR)), SENT_Q, jnp.int32),
                 ],
-                axis=2,
-            )[:, :, :qwidth_b]
-            qin_b = jnp.transpose(qin_b, (1, 0, 2))  # (G, B, qwidth_b)
-            qrows = qin_b[:, :, :Wpb]
+                axis=1,
+            )[:, :qwidth_b]
+            tkb = jnp.concatenate(
+                [
+                    tr_c.astype(jnp.int32),
+                    jnp.full((Bc, max(0, twidth_b - W2r)), SENT_T, jnp.int32),
+                ],
+                axis=1,
+            )[:, :twidth_b]
+            qlen2 = jnp.minimum(qe_c, WR).astype(jnp.int32)
+            te2b = jnp.minimum(te2_c, WR + BW).astype(jnp.int32)
+            if profile:
+                qin_b = jnp.concatenate(
+                    [
+                        jnp.zeros((Bc, 4, 1), jnp.int32),
+                        prof_c.astype(jnp.int32),
+                        jnp.zeros(
+                            (Bc, 4, max(0, qwidth_b - 1 - WR)), jnp.int32
+                        ),
+                    ],
+                    axis=2,
+                )[:, :, :qwidth_b]
+                qin_b = jnp.transpose(qin_b, (1, 0, 2))  # (G, Bc, qwidth_b)
+                qrows = qin_b[:, :, :Wpb]
+            else:
+                qin_b = qkb
+                qrows = qkb[None, :, :Wpb]
+            state0b = jnp.concatenate(
+                [
+                    jnp.full((4, Bc, Wpb), NEGj),  # H1 H2 E F
+                    qrows,  # letter/profile windows
+                    jnp.zeros((1, Bc, Wpb), jnp.int32),  # TW
+                    jnp.full((1, Bc, Wpb), NEGj),  # BV
+                    jnp.zeros((1, Bc, Wpb), jnp.int32),  # BK
+                ],
+                axis=0,
+            )
+            fillkw = dict(
+                K=Kp,
+                Wp=Wpb,
+                dlo=-BW,
+                dhi=BW,
+                match=match,
+                mismatch=mismatch,
+                gap_open=gap_open,
+                gap_extend=gap_extend,
+                want_ptr=False,
+                want_ckpt=False,
+                CK=CKb,
+                interpret=interpret,
+                profile=profile,
+                emode=True,
+                nsub=nsub_f,
+            )
+            fillargs = (
+                qin_b,
+                tkb,
+                qlen2,
+                te2b,
+                jnp.full((Bc,), -BW, jnp.int32),
+                jnp.full((Bc,), BW, jnp.int32),
+            )
+            score_neg = jnp.full((Bc, Wpb), NEGj)
+            if split_f:
+                _, st_mid, _, _ = band_fill_range(
+                    *fillargs, state0b, score_neg, k_start=0, k_end=CKb,
+                    **fillkw
+                )
+                _, st_out, _, _ = band_fill_range(
+                    *fillargs,
+                    st_mid,
+                    score_neg,
+                    k_start=CKb,
+                    k_end=Kp,
+                    steady=True,
+                    **fillkw,
+                )
+            else:
+                _, st_out, _, _ = band_fill_range(
+                    *fillargs, state0b, score_neg, k_start=0, k_end=Kp,
+                    **fillkw
+                )
+            BVb, BKb = st_out[-2], st_out[-1]
+            # decode: slot p on diagonal k is cell i = ihat(k)+p, j = k-i
+            iv = jnp.maximum(0, (BKb - BW + 1) // 2) + jnp.arange(
+                Wpb, dtype=jnp.int32
+            )[None, :]
+            packedb = iv * (mq + 1) + (BKb - iv)
+            score2_c = jnp.max(BVb, axis=1)
+            big = jnp.int32(np.iinfo(np.int32).max)
+            pb = jnp.min(
+                jnp.where(BVb == score2_c[:, None], packedb, big), axis=1
+            )
+            emptyb = score2_c <= 0
+            ri_c = jnp.where(emptyb, 0, pb // (mq + 1))
+            rj_c = jnp.where(emptyb, 0, pb % (mq + 1))
+            return score2_c, ri_c, rj_c
+
+        PC2 = 128  # largest slice that fits scoped vmem with headroom
+        if B > PC2:
+            Bp = _ceil_to(B, PC2)
+            padn = Bp - B
+
+            def _padrows(x, v):
+                if padn == 0:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.full((padn,) + x.shape[1:], v, x.dtype)], axis=0
+                )
+
+            # pad rows are empty pairs (qe=te2=0): the kernel leaves BV
+            # at NEG so they decode to ri=rj=0 and are sliced off below
+            xs = (
+                _padrows(qr, SENT_Q),
+                _padrows(tr, SENT_T),
+                _padrows(qe, 0),
+                _padrows(te2, 0),
+            ) + ((_padrows(prof_qr, 0),) if profile else ())
+            xs = jax.tree.map(
+                lambda x: x.reshape((Bp // PC2, PC2) + x.shape[1:]), xs
+            )
+            score2, ri, rj = jax.lax.map(
+                lambda a: _p2_banded(
+                    a[0], a[1], a[2], a[3], a[4] if profile else None
+                ),
+                xs,
+            )
+            score2 = score2.reshape(Bp)[:B]
+            ri = ri.reshape(Bp)[:B]
+            rj = rj.reshape(Bp)[:B]
         else:
-            qin_b = qkb
-            qrows = qkb[None, :, :Wpb]
-        state0b = jnp.concatenate(
-            [
-                jnp.full((4, B, Wpb), NEGj),  # H1 H2 E F
-                qrows,  # letter/profile windows
-                jnp.zeros((1, B, Wpb), jnp.int32),  # TW
-                jnp.full((1, B, Wpb), NEGj),  # BV
-                jnp.zeros((1, B, Wpb), jnp.int32),  # BK
-            ],
-            axis=0,
-        )
-        # tuned default for THIS call site (on-chip sweep 2026-08-19:
-        # NSUB 8/16/32 -> 38.0/38.8/38.6 at WR=512, ~40-42 at
-        # WR=256-384); the global banded default (4) stays put for the
-        # config-4 traceback path, which was not re-swept.  Interpret
-        # mode keeps 4: unrolling 32 substeps only bloats CPU-test
-        # trace time.
-        nsub_f = int(
-            _os.environ.get("SEQALIB_BAND_NSUB", "4" if interpret else "32")
-        )
-        fillkw = dict(
-            K=Kp,
-            Wp=Wpb,
-            dlo=-BW,
-            dhi=BW,
-            match=match,
-            mismatch=mismatch,
-            gap_open=gap_open,
-            gap_extend=gap_extend,
-            want_ptr=False,
-            want_ckpt=False,
-            CK=CKb,
-            interpret=interpret,
-            profile=profile,
-            emode=True,
-            nsub=nsub_f,
-        )
-        fillargs = (
-            qin_b,
-            tkb,
-            qlen2,
-            te2b,
-            jnp.full((B,), -BW, jnp.int32),
-            jnp.full((B,), BW, jnp.int32),
-        )
-        score_neg = jnp.full((B, Wpb), NEGj)
-        # split-steady: chunk 0 generic, the rest with static parity-
-        # derived roll shifts (half the rolls fold to no-ops).  Values
-        # are identical — k >= CKb=128 > BW+1 is in the linear ihat zone
-        # and the resume protocol carries BV/BK in the state.
-        split = (
-            _os.environ.get("SEQALIB_FUSED_SPLIT", "1") == "1"
-            and Kp > CKb
-            and CKb >= BW + 1
-            and nsub_f % 2 == 0
-        )
-        if split:
-            _, st_mid, _, _ = band_fill_range(
-                *fillargs, state0b, score_neg, k_start=0, k_end=CKb, **fillkw
-            )
-            _, st_out, _, _ = band_fill_range(
-                *fillargs,
-                st_mid,
-                score_neg,
-                k_start=CKb,
-                k_end=Kp,
-                steady=True,
-                **fillkw,
-            )
-        else:
-            _, st_out, _, _ = band_fill_range(
-                *fillargs, state0b, score_neg, k_start=0, k_end=Kp, **fillkw
-            )
-        BVb, BKb = st_out[-2], st_out[-1]
-        # decode: slot p on diagonal k is cell i = ihat(k) + p, j = k - i
-        iv = jnp.maximum(0, (BKb - BW + 1) // 2) + jnp.arange(
-            Wpb, dtype=jnp.int32
-        )[None, :]
-        packedb = iv * (mq + 1) + (BKb - iv)
-        score2 = jnp.max(BVb, axis=1)
-        big = jnp.int32(np.iinfo(np.int32).max)
-        pb = jnp.min(jnp.where(BVb == score2[:, None], packedb, big), axis=1)
-        emptyb = score2 <= 0
-        ri = jnp.where(emptyb, 0, pb // (mq + 1))
-        rj = jnp.where(emptyb, 0, pb % (mq + 1))
+            score2, ri, rj = _p2_banded(qr, tr, qe, te2, prof_qr)
     else:
         r2 = _strip_fill(
             qr,

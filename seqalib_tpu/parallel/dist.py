@@ -169,7 +169,7 @@ def strip_sharded(
         gap_open=gap_open, gap_extend=gap_extend, affine=affine,
     )
     interpret = jax.devices()[0].platform != "tpu"
-    from ..ops.strip_pallas import fused_wr as _fwr
+    from ..ops.strip_pallas import fused_pass2_knobs, fused_wr as _fwr
 
     if gmode:
         from ..ops.strip_pallas import LANES, _global_post, _strip_fill
@@ -181,9 +181,7 @@ def strip_sharded(
     else:
         fn = _ft.partial(
             _strip_local_fused, **kwc, BSUB=BSUB, interpret=interpret,
-            WR=_fwr(),
-            pass2=os.environ.get("SEQALIB_FUSED_PASS2", "banded"),
-            bw=int(os.environ.get("SEQALIB_FUSED_BW", "64")),
+            WR=_fwr(), **fused_pass2_knobs(interpret),
         )
     args = (
         jnp.asarray(qpad),

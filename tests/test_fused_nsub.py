@@ -64,13 +64,14 @@ def _fused_args(rng, B=4, L=96):
 
 
 @pytest.mark.parametrize("nsub", [1, 8, 32])
-def test_fused_pass2_nsub_invariant(monkeypatch, nsub):
+def test_fused_pass2_nsub_invariant(nsub):
+    # nsub is passed as the EXPLICIT static arg, never via env: the env
+    # form was read at trace time without entering the jit cache key, so
+    # the second call below was a silent cache hit and the test vacuous
     rng = np.random.default_rng(11)
     args, kw = _fused_args(rng)
-    monkeypatch.delenv("SEQALIB_BAND_NSUB", raising=False)
     ref = _strip_local_fused(*args, **kw, pass2="banded")
-    monkeypatch.setenv("SEQALIB_BAND_NSUB", str(nsub))
-    out = _strip_local_fused(*args, **kw, pass2="banded")
+    out = _strip_local_fused(*args, **kw, pass2="banded", nsub=nsub)
     for key in ("score", "qe", "te", "qs", "ts", "score2"):
         np.testing.assert_array_equal(
             np.asarray(out[key]), np.asarray(ref[key]), err_msg=key

@@ -72,16 +72,18 @@ def _fused_args(rng, B=4, L=200, protein=True):
 
 @pytest.mark.parametrize("protein", [True, False])
 @pytest.mark.parametrize("nsub", [2, 4, 8])
-def test_fused_pass2_split_steady_invariant(monkeypatch, protein, nsub):
+def test_fused_pass2_split_steady_invariant(protein, nsub):
     # L=200 makes Kp = 640 > CKb = 128: the split path covers 4 steady
-    # chunks (both d1-parity skip branches execute many times)
+    # chunks (both d1-parity skip branches execute many times).  split
+    # and nsub are EXPLICIT static args, never env: the env form was
+    # read at trace time without entering the jit cache key, so the
+    # split=1 call was a silent cache hit and the test vacuous.
     rng = np.random.default_rng(23)
     args, kw = _fused_args(rng, protein=protein)
-    monkeypatch.setenv("SEQALIB_BAND_NSUB", str(nsub))
-    monkeypatch.setenv("SEQALIB_FUSED_SPLIT", "0")
-    ref = _strip_local_fused(*args, **kw, pass2="banded")
-    monkeypatch.setenv("SEQALIB_FUSED_SPLIT", "1")
-    out = _strip_local_fused(*args, **kw, pass2="banded")
+    ref = _strip_local_fused(*args, **kw, pass2="banded", nsub=nsub,
+                             split=False)
+    out = _strip_local_fused(*args, **kw, pass2="banded", nsub=nsub,
+                             split=True)
     for key in ("score", "qe", "te", "qs", "ts", "score2"):
         np.testing.assert_array_equal(
             np.asarray(out[key]), np.asarray(ref[key]), err_msg=key
