@@ -56,3 +56,14 @@ def align_score_sp(query, target, scoring, mesh, **kw):
     from .parallel.band_pipeline import nw_affine_score_sp
 
     return nw_affine_score_sp(query, target, scoring, mesh, **kw)
+
+
+def align_sp(query, target, scoring, mesh, **kw):
+    """Global affine alignment (score + full CIGAR) of ONE long pair over
+    ``mesh``'s 'band' axis: SP pipeline fill with boundary checkpointing,
+    then a traceback that recomputes only the pointer tiles the optimal
+    path visits.  See
+    `seqalib_tpu.parallel.band_pipeline.nw_affine_align_sp`."""
+    from .parallel.band_pipeline import nw_affine_align_sp
+
+    return nw_affine_align_sp(query, target, scoring, mesh, **kw)

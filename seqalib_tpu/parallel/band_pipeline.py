@@ -43,6 +43,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..types import PTR_DIAG, PTR_LEFT, PTR_STOP, PTR_UP
+
 BAND_AXIS = "band"
 NEG = -(1 << 28)  # dominates any reachable score; safe from int32 overflow
 
@@ -52,13 +54,18 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
-               match, mismatch, o, e, table=None):
+               match, mismatch, o, e, table=None, want_ptr=False):
     """One R x C tile of the Gotoh fill.
 
     qb: (R,) block query letters.  t: full padded target (replicated).
     H_top/F_top: (C+1,)/(C,) top boundary rows (H includes the corner at
     index 0).  Hcol0/Ecol0: (R,) left boundary (H/E of column j0).
-    Returns (bottom_H (C,), bottom_F (C,), Hcol' (R,), Ecol' (R,), cap').
+    Returns (bottom_H (C,), bottom_F (C,), Hcol' (R,), Ecol' (R,), cap');
+    with want_ptr additionally a (R+C-1, R) uint8 array of packed
+    per-cell pointers in anti-diagonal layout — cell (i0+p+1, j0+k-p+1)
+    at [k, p] — packing PH (2b, oracle PTR_* codes) | EXT_E<<2 |
+    EXT_F<<3 with the oracle's exact tie-breaks (_gotoh_fill: diag >
+    up(F) > left(E); gap extend >= open).
     """
     R = qb.shape[0]
     lanes = jnp.arange(R)
@@ -101,7 +108,21 @@ def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
         hit = (ivec == n) & (jvec == m) & (c >= 1) & (c <= C)
         cap = jnp.maximum(cap, jnp.max(jnp.where(hit, H_new, NEG)))
         new_carry = (H_new, H1, E_new, F_new, W, Hcol_n, Ecol_n, cap)
-        return new_carry, (H_new[lane_last], F_new[lane_last])
+        ys = (H_new[lane_last], F_new[lane_last])
+        if want_ptr:
+            # oracle-exact provenance (oracle._gotoh_fill): H's choice is
+            # diag if it TIES the max, else F (up) if F ties, else E;
+            # gap extension wins ties over re-opening
+            dval = diag_H + s_vec
+            ph = jnp.where(
+                dval == H_new,
+                PTR_DIAG,
+                jnp.where(F_new == H_new, PTR_UP, PTR_LEFT),
+            )
+            exte = (left_E + e >= left_H + o + e).astype(jnp.uint8)
+            extf = (up_F + e >= up_H + o + e).astype(jnp.uint8)
+            ys = ys + ((ph.astype(jnp.uint8) | (exte << 2) | (extf << 3)),)
+        return new_carry, ys
 
     init = (
         jnp.full((R,), NEG, jnp.int32),  # H1
@@ -113,17 +134,27 @@ def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
         Ecol0,
         cap0,
     )
-    carry, (bot_H, bot_F) = jax.lax.scan(
+    carry, ys = jax.lax.scan(
         substep, init, jnp.arange(R + C - 1, dtype=jnp.int32)
     )
+    bot_H, bot_F = ys[0], ys[1]
     _, _, _, _, _, Hcol_n, Ecol_n, cap = carry
-    return bot_H[R - 1 :], bot_F[R - 1 :], Hcol_n, Ecol_n, cap
+    out = (bot_H[R - 1 :], bot_F[R - 1 :], Hcol_n, Ecol_n, cap)
+    if want_ptr:
+        out = out + (ys[2],)
+    return out
 
 
 def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
                    mismatch, o, e, backend="xla", interpret=True,
-                   sp_sub=None, axis=BAND_AXIS):
-    """Per-device shard_map body: scan over pipeline steps with ppermute."""
+                   sp_sub=None, axis=BAND_AXIS, want_tb=False):
+    """Per-device shard_map body: scan over pipeline steps with ppermute.
+
+    With want_tb, additionally returns the per-tile DP boundary state the
+    device consumed — resolved top packets (H row incl. corner + F row)
+    and entering left columns (H/E) — the checkpoints the traceback
+    recomputes tiles from (the banded path's checkpoint+recompute scheme,
+    SURVEY.md §5 'checkpoint/resume', applied to the SP grid)."""
     d = jax.lax.axis_index(axis)
     i0 = d * R
     qb = jax.lax.dynamic_slice(q, (i0,), (R,))
@@ -214,6 +245,7 @@ def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
             return z, z, Hcol, Ecol, cap
 
         corner = Hcol[R - 1 :]  # pre-tile left boundary's bottom lane
+        Hcol_in, Ecol_in = Hcol, Ecol
         bot_H, bot_F, Hcol, Ecol, cap = jax.lax.cond(active, compute, skip, None)
         # next device's top-row packet: corner H(i0+R, j0) = this tile's
         # left boundary bottom lane, then the tile's bottom H and F rows
@@ -221,7 +253,12 @@ def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
         pkt_next = jax.lax.ppermute(
             pkt_out, axis, [(i, (i + 1) % D) for i in range(D)]
         )
-        return (Hcol, Ecol, cap, pkt_next), None
+        ys = None
+        if want_tb:
+            # the resolved boundaries this tile was computed FROM —
+            # inactive steps store don't-care values never indexed later
+            ys = (jnp.concatenate([H_top, F_top]), Hcol_in, Ecol_in)
+        return (Hcol, Ecol, cap, pkt_next), ys
 
     steps = jnp.arange(n_tiles + D - 1, dtype=jnp.int32)
     init = (
@@ -230,8 +267,11 @@ def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
         jnp.int32(NEG),
         jnp.zeros((2 * C + 1,), jnp.int32),
     )
-    (Hcol, Ecol, cap, _), _ = jax.lax.scan(step, init, steps)
-    return jax.lax.pmax(cap, axis)
+    (Hcol, Ecol, cap, _), ys = jax.lax.scan(step, init, steps)
+    score = jax.lax.pmax(cap, axis)
+    if want_tb:
+        return score, ys[0], ys[1], ys[2]
+    return score
 
 
 def make_band_mesh(devices=None) -> Mesh:
@@ -240,22 +280,10 @@ def make_band_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (BAND_AXIS,))
 
 
-def nw_affine_score_sp(
-    q, t, sp, mesh: Mesh, C: int = 128, backend: str = "xla",
-    sp_sub: int = None,
-) -> int:
-    """Global affine-gap alignment SCORE of one long pair, computed
-    cooperatively by every device on ``mesh``'s 'band' axis.
-
-    Exact (full-matrix) Gotoh score, identical to oracle.nw_affine.
-    Scoring: scalar match/mismatch (the long-read domain), or a
-    substitution matrix on the xla backend (per-cell gather, parity-grade;
-    the Pallas tile body would use the packed-nibble profile and is the
-    planned follow-up).  q/t: 1-D int letter codes.  Pipeline: row-blocks
-    x column-tiles, one ppermute per step.  backend "xla" = the lax.scan
-    tile body (compiles anywhere); "pallas" = the flat-diagonal tile
-    kernel (ops.sp_tile_pallas, SP v2), interpret-mode off-TPU.
-    """
+def _sp_fill(q, t, sp, mesh: Mesh, C, backend, sp_sub, want_tb):
+    """Shared SP pipeline fill.  Returns (score, geom) or, with want_tb,
+    (score, geom, tops (D, steps, 2C+1), hcols (D, steps, R),
+    ecols (D, steps, R)) — the per-(device, step) boundary checkpoints."""
     if sp.matrix is not None and backend == "pallas":
         from ..ops.strip_pallas import NIBBLE_BIAS
 
@@ -266,15 +294,16 @@ def nw_affine_score_sp(
                 f"table ([{-NIBBLE_BIAS}, {15 - NIBBLE_BIAS}]); use "
                 "backend='xla' for wider tables"
             )
+    if want_tb and backend != "xla":
+        raise NotImplementedError(
+            "SP traceback pointer tiles exist on the xla body only; the "
+            "Pallas tile body is score-only"
+        )
     import jax as _jax
 
     q = np.asarray(q)
     t = np.asarray(t)
     n, m = len(q), len(t)
-    if n == 0 or m == 0:
-        if n == 0 and m == 0:
-            return 0
-        return sp.gap_open + max(n, m) * sp.gap_extend
     D = mesh.shape[BAND_AXIS]
     R = max(1, _ceil_to(n, D) // D)
     if backend == "pallas":
@@ -302,18 +331,203 @@ def nw_affine_score_sp(
         backend=backend,
         interpret=_jax.devices()[0].platform != "tpu",
         sp_sub=sp_sub,
+        want_tb=want_tb,
     )
     in_specs = (P(None), P(None))
     args = [jnp.asarray(q_pad), jnp.asarray(t_pad)]
     if sp.matrix is not None:
         in_specs = (P(None), P(None), P(None, None))
         args.append(jnp.asarray(sp.substitution_matrix(), jnp.int32))
+    out_specs = P()
+    if want_tb:
+        out_specs = (P(), P(BAND_AXIS, None), P(BAND_AXIS, None),
+                     P(BAND_AXIS, None))
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=P(),
+        out_specs=out_specs,
         check_vma=False,
     )
-    score = jax.jit(fn)(*args)
-    return int(score)
+    out = jax.jit(fn)(*args)
+    geom = dict(n=n, m=m, D=D, R=R, C=C, n_tiles=n_tiles,
+                q_pad=q_pad, t_pad=t_pad)
+    if not want_tb:
+        return int(out), geom
+    score, tops, hcols, ecols = out
+    steps = n_tiles + D - 1
+    return (
+        int(score),
+        geom,
+        np.asarray(tops).reshape(D, steps, 2 * C + 1),
+        np.asarray(hcols).reshape(D, steps, R),
+        np.asarray(ecols).reshape(D, steps, R),
+    )
+
+
+def nw_affine_score_sp(
+    q, t, sp, mesh: Mesh, C: int = 128, backend: str = "xla",
+    sp_sub: int = None,
+) -> int:
+    """Global affine-gap alignment SCORE of one long pair, computed
+    cooperatively by every device on ``mesh``'s 'band' axis.
+
+    Exact (full-matrix) Gotoh score, identical to oracle.nw_affine.
+    Scoring: scalar match/mismatch (the long-read domain), or a
+    substitution matrix on the xla backend (per-cell gather, parity-grade;
+    the Pallas tile body would use the packed-nibble profile and is the
+    planned follow-up).  q/t: 1-D int letter codes.  Pipeline: row-blocks
+    x column-tiles, one ppermute per step.  backend "xla" = the lax.scan
+    tile body (compiles anywhere); "pallas" = the flat-diagonal tile
+    kernel (ops.sp_tile_pallas, SP v2), interpret-mode off-TPU.
+    """
+    n, m = len(np.asarray(q)), len(np.asarray(t))
+    if n == 0 or m == 0:
+        if n == 0 and m == 0:
+            return 0
+        return sp.gap_open + max(n, m) * sp.gap_extend
+    score, _ = _sp_fill(q, t, sp, mesh, C, backend, sp_sub, want_tb=False)
+    return score
+
+
+def _rescore_global_affine(q, t, ops, sp) -> int:
+    """Score a global alignment given as a CIGAR op list (verification)."""
+    from ..utils.cigar import OP_D, OP_I, OP_M
+
+    if sp.matrix is not None:
+        tbl = np.asarray(sp.substitution_matrix())
+        _subst = lambda a, b: int(tbl[a, b])  # noqa: E731
+    else:
+        _subst = lambda a, b: sp.match if a == b else sp.mismatch  # noqa: E731
+    i = j = s = 0
+    prev = None
+    for op in ops:
+        if op == OP_M:
+            s += _subst(int(q[i]), int(t[j]))
+            i += 1
+            j += 1
+        else:
+            s += sp.gap_extend + (sp.gap_open if op != prev else 0)
+            if op == OP_I:
+                i += 1
+            else:
+                j += 1
+        prev = op
+    assert i == len(q) and j == len(t), "CIGAR must consume both sequences"
+    return s
+
+
+def nw_affine_align_sp(q, t, sp, mesh: Mesh, C: int = 128):
+    """Global affine alignment of one long pair over the mesh — score AND
+    CIGAR (VERDICT.md round-2 item 10: the SP path's output beyond a
+    score; north star 'one pair or band per core ... CIGAR tracebacks
+    gathered via collectives').
+
+    Fill: the SP pipeline (xla tile body) with boundary checkpointing —
+    each device keeps the top packets + left columns every tile consumed
+    (O((n/D + m) * m/C) ints, gathered host-side).  Traceback: the
+    banded path's checkpoint+recompute scheme on the SP grid — the walk
+    recomputes only the tiles the optimal path visits (~(n+m)/min(R,C)
+    of n*m/(R*C)), each as a jitted pointer tile on the device, and a
+    host state machine identical to oracle._walk_affine follows the
+    packed pointers, hopping tiles/devices as the path crosses block
+    boundaries.  Tie-breaks are the oracle's exactly; the result CIGAR
+    is verified by rescoring against the fill score before returning.
+    """
+    from ..types import AlignResult
+    from ..utils.cigar import OP_D, OP_I, OP_M, ops_to_cigar
+
+    q = np.asarray(q)
+    t = np.asarray(t)
+    n, m = len(q), len(t)
+    if n == 0 or m == 0:
+        score = 0 if n == m else sp.gap_open + max(n, m) * sp.gap_extend
+        return AlignResult(
+            int(score), 0, n, 0, m,
+            (f"{m}D" if m else "") if n == 0 else f"{n}I",
+        )
+    score, geom, tops, hcols, ecols = _sp_fill(
+        q, t, sp, mesh, C, "xla", None, want_tb=True
+    )
+    R, D, n_tiles = geom["R"], geom["D"], geom["n_tiles"]
+    q_pad, t_pad = geom["q_pad"], geom["t_pad"]
+    tbl = (
+        jnp.asarray(sp.substitution_matrix(), jnp.int32)
+        if sp.matrix is not None
+        else None
+    )
+    t_dev = jax.device_put(np.asarray(t_pad))
+
+    @jax.jit
+    def _ptr_tile(qb, tp, j0, H_top, F_top, Hcol0, Ecol0):
+        # n=m=0 disables the (irrelevant) end-cell capture; i0 likewise
+        # only feeds that check, so any value works — keep it out of the
+        # jit cache key by fixing it
+        return _tile_scan(
+            qb, tp, j0, H_top, F_top, Hcol0, Ecol0, jnp.int32(NEG),
+            C=C, i0=0, n=0, m=0, match=sp.match, mismatch=sp.mismatch,
+            o=sp.gap_open, e=sp.gap_extend, table=tbl, want_ptr=True,
+        )[5]
+
+    ptr_cache: dict = {}
+
+    def tile_ptrs(d, tt):
+        key = (d, tt)
+        if key not in ptr_cache:
+            s_idx = tt + d
+            top = tops[d, s_idx]
+            ptr_cache[key] = np.asarray(
+                _ptr_tile(
+                    jnp.asarray(q_pad[d * R : (d + 1) * R]),
+                    t_dev,
+                    tt * C,
+                    jnp.asarray(top[: C + 1]),
+                    jnp.asarray(top[C + 1 :]),
+                    jnp.asarray(hcols[d, s_idx]),
+                    jnp.asarray(ecols[d, s_idx]),
+                )
+            )
+        return ptr_cache[key]
+
+    # host walk: oracle._walk_affine's state machine over on-demand tiles
+    ops: list = []
+    i, j, state = n, m, "H"
+    while True:
+        if i == 0:
+            ops.extend([OP_D] * j)
+            break
+        if j == 0:
+            ops.extend([OP_I] * i)
+            break
+        d, tt = (i - 1) // R, (j - 1) // C
+        i0, j0 = d * R, tt * C
+        P = tile_ptrs(d, tt)
+        while i > i0 and j > j0:
+            byte = int(P[(j - j0) + (i - i0 - 1) - 1, i - i0 - 1])
+            if state == "H":
+                ph = byte & 3
+                if ph == PTR_DIAG:
+                    ops.append(OP_M)
+                    i -= 1
+                    j -= 1
+                elif ph == PTR_UP:
+                    state = "F"
+                else:
+                    assert ph == PTR_LEFT, (ph, i, j)
+                    state = "E"
+            elif state == "F":
+                ops.append(OP_I)
+                if not (byte >> 3) & 1:
+                    state = "H"
+                i -= 1
+            else:  # E
+                ops.append(OP_D)
+                if not (byte >> 2) & 1:
+                    state = "H"
+                j -= 1
+    ops.reverse()
+    walked = _rescore_global_affine(q, t, ops, sp)
+    assert walked == score, (
+        f"SP traceback rescore {walked} != fill score {score}"
+    )
+    return AlignResult(int(score), 0, n, 0, m, ops_to_cigar(ops))

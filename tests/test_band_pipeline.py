@@ -115,3 +115,89 @@ def test_sp_matrix_single_letter(mesh):
     sp = ScoringParams.blosum62()
     got = nw_affine_score_sp([1], [1], sp, mesh)
     assert got == nw_affine(np.array([1]), np.array([1]), sp).score
+
+
+# ---------------------------------------------------------------------------
+# SP traceback (VERDICT.md round-2 item 10): score + CIGAR over the mesh
+# ---------------------------------------------------------------------------
+
+from seqalib_tpu.parallel.band_pipeline import nw_affine_align_sp  # noqa: E402
+
+
+@pytest.mark.parametrize(
+    "n,m,C",
+    [
+        (400, 520, 128),  # path crosses every device block
+        (333, 290, 64),   # odd shapes, R not divisible by C
+        (97, 203, 50),    # small
+        (5, 400, 64),     # fewer rows than devices
+        (40, 7, 16),      # target shorter than one tile
+    ],
+)
+def test_sp_align_matches_oracle(mesh, n, m, C):
+    """str-level parity: score, full-span coords AND canonical CIGAR."""
+    rng = np.random.default_rng(n * 1000 + m)
+    q = rng.integers(0, 4, n).astype(np.int32)
+    t = rng.integers(0, 4, m).astype(np.int32)
+    got = nw_affine_align_sp(q, t, SP, mesh, C=C)
+    want = nw_affine(q, t, SP)
+    assert str(got) == str(want)
+
+
+def test_sp_align_mutated_copy(mesh):
+    """Indel-rich realistic case: long gap runs cross tile boundaries in
+    E/F state (the extend-bit handoff between pointer tiles)."""
+    rng = np.random.default_rng(17)
+    n = 384
+    q = rng.integers(0, 4, n).astype(np.int32)
+    t = q.copy()
+    idx = rng.choice(n, 20, replace=False)
+    t[idx] = (t[idx] + 1 + rng.integers(0, 3, 20)) % 4
+    t = np.delete(t, np.arange(100, 112))  # 12-col gap: E-extend chain
+    t = np.insert(t, 250, rng.integers(0, 4, 9)).astype(np.int32)
+    got = nw_affine_align_sp(q, t, SP, mesh, C=96)
+    want = nw_affine(q, t, SP)
+    assert str(got) == str(want)
+
+
+def test_sp_align_matrix_scoring(mesh):
+    sp = ScoringParams.blosum62()
+    rng = np.random.default_rng(29)
+    q = rng.integers(0, 20, 200).astype(np.int32)
+    t = rng.integers(0, 20, 240).astype(np.int32)
+    got = nw_affine_align_sp(q, t, sp, mesh, C=64)
+    want = nw_affine(q, t, sp)
+    assert str(got) == str(want)
+
+
+def test_sp_align_degenerate(mesh):
+    got = nw_affine_align_sp([1, 2], [], SP, mesh)
+    assert (got.score, got.cigar) == (SP.gap_open + 2 * SP.gap_extend, "2I")
+    got = nw_affine_align_sp([], [3], SP, mesh)
+    assert (got.score, got.cigar) == (SP.gap_open + SP.gap_extend, "1D")
+
+
+def test_sp_align_10kb(mesh):
+    """The VERDICT item-10 'one 10kb+ pair' case.  The oracle is O(n*m)
+    Python loops (infeasible here), so correctness splits into (a) the
+    fill score vs an independent engine (the XLA wavefront via the
+    public API) and (b) the in-function rescore assert, which proves the
+    returned CIGAR attains that optimal score — together a complete
+    optimality proof for the traceback."""
+    from seqalib_tpu.api import align
+
+    rng = np.random.default_rng(41)
+    n = 10240
+    q = rng.integers(0, 4, n).astype(np.uint8)
+    t = q[: n - 2048].copy()
+    idx = rng.choice(len(t), 150, replace=False)
+    t[idx] = (t[idx] + 1 + rng.integers(0, 3, 150)) % 4
+    got = nw_affine_align_sp(
+        q.astype(np.int32), t.astype(np.int32), SP, mesh, C=256
+    )
+    ref = align(q, t, scoring=SP, mode="global", backend="xla")
+    assert got.score == ref.score
+    assert (got.query_end, got.target_end) == (n, len(t))
+    from seqalib_tpu.utils.cigar import cigar_consumed
+
+    assert cigar_consumed(got.cigar) == (n, len(t))
