@@ -94,14 +94,13 @@ def main():
 
     coords_label = "start+end(2pass)"
     if want_starts:
-        from seqalib_tpu.ops.strip_pallas import fused_wr
+        from seqalib_tpu.ops.strip_pallas import fused_pass2_knobs, fused_wr
 
         fill = functools.partial(
             _strip_local_fused,
             **kw,
             WR=fused_wr(),
-            pass2=os.environ.get("SEQALIB_FUSED_PASS2", "banded"),
-            bw=int(os.environ.get("SEQALIB_FUSED_BW", "64")),
+            **fused_pass2_knobs(kw["interpret"]),
         )
         acc_of = lambda out: out["score"].sum() + out["qs"].sum() + out["ts"].sum()
         # parity gate on the timed kernel: the fused pass-2 window must
