@@ -600,6 +600,12 @@ def _strip_fill(
     emode=False,
     dt16=False,
 ):
+    # letters may arrive as uint8 (4x less host->device transfer — the
+    # remote tunnel moves ~25-80 MB/s, so int32 letter shipping dominated
+    # streaming-product chunks); upcast on device where it fuses for free
+    DTL = jnp.int16 if dt16 else jnp.int32
+    qpad = qpad.astype(DTL)
+    t2 = t2.astype(DTL)
     B, n_pad = qpad.shape
     W2 = t2.shape[1]
     S = n_pad // TI
@@ -781,15 +787,22 @@ def _prep_strip(q, t, qlen, tlen, table_h, *, gap_open, gap_extend, affine):
     NB = m_pad // LANES + 1
     W2 = (NB + 1) * LANES
 
+    # uint8 letter arrays: 4x less host work and host->device transfer
+    # (the jitted fills upcast on device); every alphabet + sentinel fits
+    assert SENT_T < 256, SENT_T
     iarr = np.arange(n_pad)[None, :]
-    qpad = np.full((B, n_pad), SENT_Q, np.int32)
+    qpad = np.full((B, n_pad), SENT_Q, np.uint8)
     qpad[:, :n] = q
-    qpad = np.where(iarr < qlen[:, None], qpad, SENT_Q).astype(np.int32)
+    qpad = np.where(iarr < qlen[:, None], qpad, np.uint8(SENT_Q)).astype(
+        np.uint8
+    )
 
     xarr = np.arange(W2)[None, :]
-    t2 = np.full((B, W2), SENT_T, np.int32)
+    t2 = np.full((B, W2), SENT_T, np.uint8)
     t2[:, 1 : 1 + m] = t
-    t2 = np.where((xarr >= 1) & (xarr <= tlen[:, None]), t2, SENT_T).astype(np.int32)
+    t2 = np.where(
+        (xarr >= 1) & (xarr <= tlen[:, None]), t2, np.uint8(SENT_T)
+    ).astype(np.uint8)
 
     kwc = dict(
         mq=m,
@@ -1003,10 +1016,9 @@ def strip_bucket(
     match, mismatch = kwc["match"], kwc["mismatch"]
     profile, packed = kwc["profile"], kwc["packed"]
 
-    DTh = np.int16 if dt16 else np.int32
     dev_args = (
-        jnp.asarray(qpad.astype(DTh)),
-        jnp.asarray(t2.astype(DTh)),
+        jnp.asarray(qpad),
+        jnp.asarray(t2),
         jnp.asarray(qlen),
         jnp.asarray(tlen),
         jnp.asarray(table_h),
@@ -1255,6 +1267,10 @@ def _strip_local_fused(
         # (fused_wr()/fused_pass2_knobs() in strip_bucket/strip_sharded)
         # so they always land in the jit cache key
         WR = 4 * TI
+    # uint8 letter shipping (see _strip_fill): upcast once on device
+    DTL = jnp.int16 if dt16 else jnp.int32
+    qpad = qpad.astype(DTL)
+    t2 = t2.astype(DTL)
     kw = dict(
         BSUB=BSUB,
         mq=mq,
