@@ -143,6 +143,59 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@functools.partial(jax.jit, static_argnames=("L", "lo", "fill"))
+def _row_window(src, starts, hi, *, L, lo, fill):
+    """out[n, x] = src[n, starts[n] + x] where lo <= x < hi[n], else fill.
+
+    The per-pair reversed-prefix extraction of the fused pass 2.  A
+    vmap(dynamic_slice) formulation lowers to a sequential XLA while
+    loop over rows (~0.2ms per 128-pair batch — 6% of the whole fused
+    program, trace-verified); this Pallas kernel does the same row-wise
+    dynamic window loads in one launch.  Mosaic only allows LANE-ALIGNED
+    dynamic lane offsets, so each row loads the 128-aligned superset
+    window and rotates the remainder away (shift normalized mod width:
+    dynamic negative shifts miscompile on non-power-of-two widths).
+    Callers guarantee starts[n] + L + LANES <= src.shape[1] (sentinel
+    tails one block longer than the slice form needed)."""
+    N, W = src.shape
+    Wp = L + LANES
+    assert W % LANES == 0 and L % LANES == 0, (W, L)
+
+    def kern(starts_ref, hi_ref, src_ref, out_ref):
+        g = pl.program_id(0)
+        x = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+        rows = []
+        for r in range(SUBLANES):
+            s = starts_ref[g * SUBLANES + r]
+            h = hi_ref[g * SUBLANES + r]  # scalar: SMEM loads are scalar
+            base = pl.multiple_of((s // LANES) * LANES, LANES)
+            rem = s - base
+            win = src_ref[pl.ds(r, 1), pl.ds(base, Wp)]
+            win = pltpu.roll(win, (Wp - rem) % Wp, axis=1)
+            rows.append(jnp.where((x >= lo) & (x < h), win, fill))
+        out_ref[...] = jnp.concatenate(rows, axis=0)[:, :L]
+
+    assert N % SUBLANES == 0, N
+    return pl.pallas_call(
+        kern,
+        grid=(N // SUBLANES,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # 8 source rows per grid step: VMEM footprint stays bounded
+            # at any batch size (all-vs-all chunks reach B >= 8192)
+            pl.BlockSpec(
+                (SUBLANES, W), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (SUBLANES, L), lambda g: (g, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, L), src.dtype),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(starts.astype(jnp.int32), hi.astype(jnp.int32), src)
+
+
 def _state_names(affine: bool, gmode: bool = False):
     """Persistent (across blocks) SSA carry set.  DF is the diag feeder
     (previous step's up feeder).  Global mode captures the final cell into
@@ -1299,31 +1352,38 @@ def _strip_local_fused(
     # take_along_axis form cost more than the entire pass-1 fill on TPU).
     karr = jnp.arange(WR, dtype=jnp.int32)[None, :]
     B = qpad.shape[0]
+    # row-wise windowed gathers go through the Pallas kernel when the
+    # batch is sublane-aligned (the vmap(dynamic_slice) form lowers to a
+    # sequential while over rows — 6% of the fused program wall)
+    fastwin = B % SUBLANES == 0
+
+    def _win(src, starts, hi, L, lo, fill):
+        if fastwin:
+            return _row_window(src, starts, hi, L=L, lo=lo, fill=fill)
+        raw = jax.vmap(
+            lambda row, start: jax.lax.dynamic_slice_in_dim(row, start, L)
+        )(src, starts)
+        x = jnp.arange(L, dtype=jnp.int32)[None, :]
+        return jnp.where((x >= lo) & (x < hi[:, None]), raw, fill)
+
     # sentinel tail keeps every dynamic start in bounds (XLA would clamp
     # out-of-bounds starts, silently shifting the slice)
     qpadf = jnp.concatenate(
-        [jnp.flip(qpad, axis=1), jnp.full((B, WR), SENT_Q, qpad.dtype)], axis=1
+        [jnp.flip(qpad, axis=1), jnp.full((B, WR + LANES), SENT_Q, qpad.dtype)],
+        axis=1
     )  # qpadf[b, y] = qpad[b, n_pad-1-y]
-    qr_raw = jax.vmap(
-        lambda row, start: jax.lax.dynamic_slice_in_dim(row, start, WR)
-    )(qpadf, n_pad - qe)
-    qr = jnp.where(karr < qe[:, None], qr_raw, SENT_Q).astype(qpad.dtype)
+    qr = _win(qpadf, n_pad - qe, qe, WR, 0, SENT_Q).astype(qpad.dtype)
     # clamped pass-2 target width: data columns 1..TWD plus the same
     # 2-block slack pass 1 carries (t2 layout invariant)
     W2r = min(W2, (_ceil_to(2 * WR, LANES) // LANES + 2) * LANES)
     TWD = W2r - 2 * LANES
-    xarr = jnp.arange(W2r, dtype=jnp.int32)[None, :]
     te2 = jnp.minimum(te, TWD)
     t2f = jnp.concatenate(
-        [jnp.flip(t2, axis=1), jnp.full((B, W2r), SENT_T, t2.dtype)], axis=1
+        [jnp.flip(t2, axis=1), jnp.full((B, W2r + LANES), SENT_T, t2.dtype)],
+        axis=1
     )  # t2f[b, y] = t2[b, W2-1-y]
     # tr[b, x] = t2[b, te-x+1] = t2f[b, (W2-2-te) + x]
-    tr_raw = jax.vmap(
-        lambda row, start: jax.lax.dynamic_slice_in_dim(row, start, W2r)
-    )(t2f, W2 - 2 - te)
-    tr = jnp.where(
-        (xarr >= 1) & (xarr <= te2[:, None]), tr_raw, SENT_T
-    ).astype(t2.dtype)
+    tr = _win(t2f, W2 - 2 - te, te2 + 1, W2r, 1, SENT_T).astype(t2.dtype)
     # pass-2 engine: the banded extension kernel does O(span * BW) work
     # (~10% of pass 1) vs the strip engine's O(WR * 2WR) (~30%); a start
     # whose net gap exceeds BW misses the score and escalates, same as the
@@ -1375,16 +1435,29 @@ def _strip_local_fused(
             proff = jnp.concatenate(
                 [
                     jnp.flip(prof_pad, axis=2),
-                    jnp.zeros((B, 4, WR), prof_pad.dtype),
+                    jnp.zeros((B, 4, WR + LANES), prof_pad.dtype),
                 ],
                 axis=2,
             )  # proff[b, g, y] = prof_pad[b, g, n_pad-1-y]
-            prof_qr = jax.vmap(
-                lambda rows, start: jax.lax.dynamic_slice_in_dim(
-                    rows, start, WR, axis=1
+            if fastwin:
+                # rows (b, g) flattened b-major: starts/hi repeat per group
+                prof_qr = _row_window(
+                    proff.reshape(B * 4, -1),
+                    jnp.repeat(n_pad - qe, 4),
+                    jnp.repeat(qe, 4),
+                    L=WR,
+                    lo=0,
+                    fill=0,
+                ).reshape(B, 4, WR)
+            else:
+                prof_qr = jax.vmap(
+                    lambda rows, start: jax.lax.dynamic_slice_in_dim(
+                        rows, start, WR, axis=1
+                    )
+                )(proff, n_pad - qe)  # (B, G, WR): word of qpad[qe-1-k]
+                prof_qr = jnp.where(
+                    karr[:, None, :] < qe[:, None, None], prof_qr, 0
                 )
-            )(proff, n_pad - qe)  # (B, G, WR): word of qpad[qe-1-k]
-            prof_qr = jnp.where(karr[:, None, :] < qe[:, None, None], prof_qr, 0)
         else:
             prof_qr = None
 
