@@ -181,6 +181,24 @@ def _band_kernel(
         tbase = 0
         qsrc, tsrc = qk_ref, tk_ref
 
+    def _roll_norm(x, s):
+        # pltpu.roll with a static shift: fold 0 away, normalize
+        # negatives mod the lane width (the op is circular but rejects
+        # negative STATIC shifts at lowering).  Traced shifts MUST also
+        # be normalized to non-negative: Mosaic miscompiles dynamic
+        # NEGATIVE shifts on non-power-of-two widths (Wp=384/640 —
+        # verified on-chip: roll(x, -1) returns garbage while
+        # roll(x, (-1) % Wp) is exact; power-of-two widths mask the
+        # bug).  One scalar rem per roll is noise next to the roll.
+        W = x.shape[1]
+        if isinstance(s, int):
+            s %= W
+            if s == 0:
+                return x
+        else:
+            s = s % W
+        return pltpu.roll(x, s, axis=1)
+
     def col(ref, x, gi=None):
         """(B, 1) word ref[(gi,) :, x] via aligned-block load + mask-reduce."""
         xs = jnp.maximum(x, 0)
@@ -191,7 +209,7 @@ def _band_kernel(
             blk = ref[gi, :, pl.ds(off, LANES)]
         return jnp.sum(jnp.where(lane128 == (xs - off), blk, 0), axis=1, keepdims=True)
 
-    def substep(k, st, dstat=None):
+    def substep(k, st, dstat=None, tops=None):
         H1, H2, E1, F1 = st[:4]
         if emode:
             qws = list(st[4:-3])
@@ -212,21 +230,7 @@ def _band_kernel(
             d2 = ih - ihat(k - 2)  # {0, 1, 2}
 
         def roll1(x, s):
-            # pltpu.roll with a static shift: fold 0 away, normalize
-            # negatives mod Wp (the op is circular but rejects negative
-            # STATIC shifts at lowering).  Traced shifts MUST also be
-            # normalized to non-negative: Mosaic miscompiles dynamic
-            # NEGATIVE shifts on non-power-of-two widths (Wp=384/640 —
-            # verified on-chip: roll(x, -1) returns garbage while
-            # roll(x, (-1) % Wp) is exact; power-of-two widths mask the
-            # bug).  One scalar rem per roll is noise next to the roll.
-            if isinstance(s, int):
-                s %= Wp
-                if s == 0:
-                    return x
-            else:
-                s = s % Wp
-            return pltpu.roll(x, s, axis=1)
+            return _roll_norm(x, s)
 
         # sliding windows (QW/PWg[p] = src[ih+p-1], TW[p] = t[k-ih-p-1]).
         # With STATIC deltas (steady zone) the redundant half of the
@@ -239,14 +243,22 @@ def _band_kernel(
         if dstat is None or d1 == 1:
             for gi in range(len(qws)):
                 w = roll1(qws[gi], -d1)
-                top = col(qsrc, ih + Wp - 1 - qbase, gi if profile else None)
-                qws[gi] = jnp.where(
-                    parr == Wp - 1, jnp.broadcast_to(top, (B, Wp)), w
-                )
+                if tops is not None:
+                    # group-batched top-up: the pre-rolled superset block
+                    # already holds the wanted letter/word at lane Wp-1
+                    qws[gi] = jnp.where(parr == Wp - 1, tops[0][gi], w)
+                else:
+                    top = col(qsrc, ih + Wp - 1 - qbase, gi if profile else None)
+                    qws[gi] = jnp.where(
+                        parr == Wp - 1, jnp.broadcast_to(top, (B, Wp)), w
+                    )
         if dstat is None or d1 == 0:
             TW = roll1(TW, 1 - d1)
-            tlow = col(tsrc, k - ih - tbase)
-            TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
+            if tops is not None:
+                TW = jnp.where(parr == 0, tops[1], TW)
+            else:
+                tlow = col(tsrc, k - ih - tbase)
+                TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
 
         ivec = ih + parr
         jvec = k - ivec
@@ -354,8 +366,43 @@ def _band_kernel(
             return (Hn, H1, En, Fn, *qws, TW, BV, BK)
         return (Hn, H1, En, Fn, *qws, TW)
 
+    # group-batched window top-ups (steady zone): instead of a per-step
+    # col() — aligned load + compare + cross-lane mask-reduce + broadcast
+    # (~8 ops per window per d1=1 step, x4 profile windows: THE dominant
+    # steady-substep cost) — each NSUB group loads ONE 2-lane-block
+    # superset per window, rotates it once so the group's first wanted
+    # column sits at the insert lane, and every substep takes a STATIC
+    # roll of that block (the per-u column advance a_u is a pure parity
+    # function, same derivation as the static ihat deltas).  Exact, not
+    # approximate: only lane Wp-1 (query) / lane 0 (target) of the block
+    # is ever selected.  Requires the insert lane to be a real lane index
+    # (Wp == LANES, the fused pass-2 geometry) and VMEM-resident letters.
+    fast_tops = steady and Wp == LANES and not stream
+    W2L = 2 * LANES
+
     def group(gi, st):
         k0 = k_start + g * CK + gi * NSUB
+        qblks = tblk = None
+        if fast_tops:
+            ih0 = ihat(k0)
+            # parity of the linear ihat argument (k0 - dhi + 1); g*CK and
+            # gi*NSUB are even, so it is static
+            x0p = (k_start - dhi + 1) % 2
+            cq = ih0 + Wp - 1 - qbase
+            cqb = pl.multiple_of((cq // LANES) * LANES, LANES)
+            qsh = (LANES - 1 - (cq - cqb)) % W2L  # wanted col -> lane 127
+            if profile:
+                qblks = [
+                    _roll_norm(qsrc[gi2, :, pl.ds(cqb, W2L)], qsh)
+                    for gi2 in range(G_PROF)
+                ]
+            else:
+                qblks = [_roll_norm(qsrc[:, pl.ds(cqb, W2L)], qsh)]
+            ct = k0 - ih0 - tbase
+            ctb = pl.multiple_of((ct // LANES) * LANES, LANES)
+            tblk = _roll_norm(
+                tsrc[:, pl.ds(ctb, W2L)], (W2L - (ct - ctb)) % W2L
+            )  # group's first wanted t column -> lane 0
         for u in range(NSUB):
             if steady:
                 # parity(k) == parity(k_start + u): g*CK and gi*NSUB are
@@ -363,7 +410,24 @@ def _band_kernel(
                 # are static per unrolled substep: d1 = 1 iff (k + dhi)
                 # odd, d2 = 1 (linear zone k >= dhi+1)
                 d1s = 1 if (k_start + u + dhi) % 2 == 1 else 0
-                st = substep(k0 + u, st, (d1s, 1))
+                tops = None
+                if fast_tops:
+                    a_u = (x0p + u) // 2  # ihat(k0+u) - ihat(k0), static
+                    if d1s == 1:
+                        tops = (
+                            [
+                                _roll_norm(b, (W2L - a_u) % W2L)[:, :Wp]
+                                for b in qblks
+                            ],
+                            None,
+                        )
+                    else:
+                        b_u = u - a_u  # t-column advance, static
+                        tops = (
+                            None,
+                            _roll_norm(tblk, (W2L - b_u) % W2L)[:, :Wp],
+                        )
+                st = substep(k0 + u, st, (d1s, 1), tops=tops)
             else:
                 st = substep(k0 + u, st)
         return st

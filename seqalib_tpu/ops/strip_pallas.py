@@ -198,9 +198,11 @@ def _row_window(src, starts, hi, *, L, lo, fill):
 
 def _state_names(affine: bool, gmode: bool = False):
     """Persistent (across blocks) SSA carry set.  DF is the diag feeder
-    (previous step's up feeder).  Global mode captures the final cell into
-    SC instead of tracking an argmax."""
-    names = ["H1", "H2", "E1", "F1", "W", "BV", "BK", "CH", "CF", "DF"]
+    (previous step's up feeder).  H1R is the previous step's rolled H1
+    (== rol1 of what H2 used to be — the roll is carried, not redone).
+    Global mode captures the final cell into SC instead of tracking an
+    argmax."""
+    names = ["H1", "H1R", "E1", "F1", "W", "BV", "BK", "CH", "CF", "DF"]
     if gmode:
         names = [n for n in names if n not in ("BV", "BK")] + ["SC"]
     if not affine:
@@ -341,12 +343,16 @@ def _strip_kernel(
         lean=True skips left-of-matrix masking (valid once k >= TI)."""
         Wv = jnp.where(lane0, st["TF"], rol1(st["W"]))
         s_vec = subst(Wv)
-        H1u = jnp.where(lane0, st["HF"], rol1(st["H1"]))
-        H2d = jnp.where(lane0, st["DF"], rol1(st["H2"]))
+        rH1 = rol1(st["H1"])
+        H1u = jnp.where(lane0, st["HF"], rH1)
+        # H1R carries LAST step's rol1(H1) — exactly rol1(H2) since
+        # H2 == previous H1 — so the diag neighbor costs a select, not a
+        # second roll of the same data (one roll per step, ~3% of fill)
+        H2d = jnp.where(lane0, st["DF"], st["H1R"])
         d = H2d + s_vec
 
         nxt = {
-            "H2": st["H1"],
+            "H1R": rH1,
             "W": Wv,
             "DF": st["HF"],
             "TF": rolm1(st["TF"]),
@@ -1407,8 +1413,11 @@ def _strip_local_fused(
         Wpb = _ceil_to((2 * BW + 1) // 2 + 2, LANES)
         CKb = 128
         Kp = _ceil_to(WR + min(TWD, WR + BW) + 1, CKb)
-        qwidth_b = _ceil_to((Kp - BW) // 2 + Wpb + 2, LANES) + LANES
-        twidth_b = _ceil_to(Kp + 2, LANES) + LANES
+        # + 2*LANES: the steady kernel's group-batched top-ups load
+        # 2-lane-block aligned supersets around ih0 + Wp - 1 (banded
+        # _band_kernel fast_tops) — the widths must cover them
+        qwidth_b = _ceil_to((Kp - BW) // 2 + Wpb + 2, LANES) + 2 * LANES
+        twidth_b = _ceil_to(Kp + 2, LANES) + 2 * LANES
         NEGj = jnp.int32(NEG_INF)
         # pure defaults mirror fused_pass2_knobs(); env overrides never
         # reach this body (they'd dodge the jit cache key — see
