@@ -51,7 +51,7 @@ def main():
     BSUB = int(os.environ.get("BENCH_BSUB", "128"))
     BSUB = min(BSUB, B)
     B = -(-B // BSUB) * BSUB  # pad to a BSUB multiple: all grid work is real
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    reps = int(os.environ.get("BENCH_REPS", "7"))
     X1 = int(os.environ.get("BENCH_X1", "8"))
     X2 = int(os.environ.get("BENCH_X2", "32"))
     # start+end (default): the fused two-pass coords pipeline (end-only
@@ -161,15 +161,6 @@ def main():
 
         return many
 
-    def timed(fn):
-        int(fn(args[0]))  # compile + sync
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            int(fn(args[0]))  # int() forces a true device sync
-            ts.append(time.perf_counter() - t0)
-        return statistics.median(ts)
-
     c1, c2 = chain(X1), chain(X2)
     trace_dir = os.environ.get("BENCH_TRACE")
     if trace_dir:
@@ -182,8 +173,22 @@ def main():
         with jax.profiler.trace(trace_dir):
             int(c1(args[0]))
 
-    t1, t2_ = timed(c1), timed(c2)
-    per_call = (t2_ - t1) / (X2 - X1)
+    # interleaved per-rep marginals: medianing t1 and t2 SEPARATELY let
+    # tunnel drift between the two sampling batches bias the difference
+    # (observed 41-51 GCUPS across identical runs); a back-to-back
+    # (t1_i, t2_i) pair sees the same tunnel state, and the median of
+    # per-pair marginals is robust to spikes
+    int(c1(args[0]))
+    int(c2(args[0]))  # compile + sync both
+    margs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        int(c1(args[0]))  # int() forces a true device sync
+        t1 = time.perf_counter()
+        int(c2(args[0]))
+        t2_ = time.perf_counter()
+        margs.append(((t2_ - t1) - (t1 - t0)) / (X2 - X1))
+    per_call = statistics.median(margs)
     gcups = B * L * L / per_call / 1e9
     print(
         json.dumps(
