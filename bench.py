@@ -46,12 +46,12 @@ def main():
     )
     from seqalib_tpu.parallel.dispatch import sentinel_table
 
-    B = int(os.environ.get("BENCH_B", "128"))
+    B = int(os.environ.get("BENCH_B", "512"))
     L = int(os.environ.get("BENCH_L", "1024"))
     BSUB = int(os.environ.get("BENCH_BSUB", "128"))
     BSUB = min(BSUB, B)
     B = -(-B // BSUB) * BSUB  # pad to a BSUB multiple: all grid work is real
-    reps = int(os.environ.get("BENCH_REPS", "7"))
+    reps = int(os.environ.get("BENCH_REPS", "9"))
     X1 = int(os.environ.get("BENCH_X1", "8"))
     X2 = int(os.environ.get("BENCH_X2", "32"))
     # start+end (default): the fused two-pass coords pipeline (end-only
