@@ -36,6 +36,7 @@ from ..ops.banded_pallas import (
     band_fill_range,
     build_packed_profile_np,
     init_band_state,
+    n_band_state,
 )
 from ..types import (
     NEG_INF,
@@ -156,7 +157,17 @@ def banded_align_batch(
         per_pair = (n_qrows * WQW + WTW + (10 + 2 * n_qrows) * Wp) * 4
     else:
         per_pair = (n_qrows * qwidth + twidth + (10 + 2 * n_qrows) * Wp) * 4
+    if traceback:
+        # the recompute pass streams (CK, B, Wp) int8 pointer blocks and
+        # the fill pass (1, NS, B, Wp) checkpoint blocks through the
+        # output pipeline — both live in scoped VMEM, double-buffered
+        # (measured: B=128 w=256 blew the 16M scoped limit at 30.4M
+        # before this term entered the guard)
+        ns = n_band_state(profile, False)
+        per_pair += 2 * (CK * Wp + ns * Wp * 4)
     max_b = max(1, vmem_cap // per_pair)
+    if max_b > 8:
+        max_b -= max_b % 8  # sublane-aligned batches (Mosaic tiling)
     if B > max_b:
         log.info(
             "banded VMEM guard: chunking %d pairs into <=%d-pair calls "
