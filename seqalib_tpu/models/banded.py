@@ -84,6 +84,7 @@ def banded_align_batch(
     traceback: bool = True,
     CK: int = 256,
     device=None,
+    device_walk: Optional[bool] = None,
 ) -> List[AlignResult]:
     """Banded affine-gap global alignment of a same-delta bucket.
 
@@ -189,6 +190,7 @@ def banded_align_batch(
                     traceback=traceback,
                     CK=CK,
                     device=device,
+                    device_walk=device_walk,
                 )
             )
         return out
@@ -254,7 +256,7 @@ def banded_align_batch(
 
     ckpts_h = np.asarray(ckpts)  # (NC, N_STATE, B, Wp)
 
-    # ---- pass 2: blockwise recompute + host walk ------------------------
+    # ---- pass 2: blockwise recompute + walk ------------------------------
     ST_H, ST_E, ST_F = 0, 1, 2
     i = qlen.copy()
     j = tlen.copy()
@@ -262,12 +264,21 @@ def banded_align_batch(
     done = np.zeros(B, bool)
     barr = np.arange(B)
     ops_rev_cols: List[np.ndarray] = []
-    # native walker: per-pair independent C++ walk with fused RLE; the
-    # NumPy path below walks all pairs in lockstep (every pair pays the
-    # longest pair's step count) and is the no-toolchain fallback
+    dev_blocks: List[np.ndarray] = []
+    # walk engines, fastest first: (1) the DEVICE walk kernel
+    # (ops/banded_pallas.band_walk_range) keeps the (KW, B, Wp) pointer
+    # blocks on-device and ships only a (B, KW) op matrix — the pointer
+    # haul was ~95% of the traceback wall through the remote tunnel;
+    # (2) the native C++ per-pair walker (host, needs the pointer haul);
+    # (3) the NumPy lockstep walk (no-toolchain fallback).
+    use_dev_walk = device_walk if device_walk is not None else not interpret
     from .. import native as _native
 
-    nwalk = _native.BandedWalk.create(i, j, cap=int((qlen + tlen).max()) + 2)
+    nwalk = (
+        None
+        if use_dev_walk
+        else _native.BandedWalk.create(i, j, cap=int((qlen + tlen).max()) + 2)
+    )
 
     def ihat(k):
         return np.maximum(0, (k - dhi + 1) // 2)
@@ -304,9 +315,34 @@ def banded_align_batch(
             want_ckpt=False,
             **kw,
         )
-        P = np.asarray(ptrs)  # (k1g - k0g, B, Wp)
         k0 = k0g
         KW = k1g - k0g
+        if use_dev_walk:
+            # on-device walk: ptrs never leave the chip
+            from ..ops.banded_pallas import band_walk_range
+
+            ops_blk, iv2, jv2, st2, dn2 = band_walk_range(
+                ptrs[:KW],
+                jnp.asarray(i, jnp.int32),
+                jnp.asarray(j, jnp.int32),
+                jnp.asarray(st, jnp.int32),
+                jnp.asarray(done, jnp.int32),
+                k0=k0,
+                KW=KW,
+                dhi=dhi,
+                Wp=Wp,
+                B=B,
+                interpret=interpret,
+            )
+            i = np.asarray(iv2).astype(i.dtype)
+            j = np.asarray(jv2).astype(j.dtype)
+            st = np.asarray(st2).astype(np.int32)
+            done = np.asarray(dn2).astype(bool)
+            # column x <-> diagonal k0+x; walk order is k DESCENDING
+            dev_blocks.append(np.asarray(ops_blk)[:, :KW][:, ::-1])
+            ci = cg - 1
+            continue
+        P = np.asarray(ptrs)  # (k1g - k0g, B, Wp)
         if nwalk is not None:
             nwalk.walk_block(P, k0, dhi)
             done = nwalk.done.astype(bool)
@@ -360,9 +396,21 @@ def banded_align_batch(
             )
             for b in range(B)
         ]
-    ops_mat = (
-        np.stack(ops_rev_cols, axis=1) if ops_rev_cols else np.zeros((B, 0), np.uint8)
-    )
+    if use_dev_walk:
+        # blocks were visited high-k first and each block's columns are
+        # already in descending-k (= walk) order — same shape the NumPy
+        # lockstep path produces
+        ops_mat = (
+            np.concatenate(dev_blocks, axis=1).astype(np.uint8)
+            if dev_blocks
+            else np.zeros((B, 0), np.uint8)
+        )
+    else:
+        ops_mat = (
+            np.stack(ops_rev_cols, axis=1)
+            if ops_rev_cols
+            else np.zeros((B, 0), np.uint8)
+        )
     for b in range(B):
         row = ops_mat[b]
         row = row[row != 255]

@@ -655,3 +655,143 @@ def band_fill_range(
     )(qk, tk, qlenc, tlenc, dloc, dhic, state_in)
     score = jnp.maximum(score, score_in)
     return score, state_out, ckpts, ptrs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k0", "KW", "dhi", "Wp", "B", "interpret"),
+)
+def band_walk_range(ptrs, iv, jv, stv, donev, *, k0, KW, dhi, Wp, B,
+                    interpret):
+    """On-device banded traceback walk over one recomputed pointer
+    super-block (the device twin of native walker sq_walk_banded,
+    bit-identical semantics incl. slot clamping and STOP handling).
+
+    The host walk hauled the whole (KW, B, Wp) int8 pointer block to the
+    host first — ~200 MB per 128-pair 10kb batch, 95% of the config-4
+    traceback wall through the remote tunnel.  This kernel walks ONE
+    anti-diagonal per grid step (k descending), extracts each active
+    pair's pointer byte with a lane mask-reduce, runs the H/E/F state
+    machine vectorized over pairs, and emits at most one CIGAR op per
+    pair per step into a (B, KW) matrix — 1/Wp the pointer volume.
+
+    ptrs: (KW, B, Wp) int8 device array (band_fill_range's want_ptr
+    output, never fetched).  iv/jv/stv/donev: (B,) int32 walker state.
+    Returns (ops (B, KWp) int32 — column x holds the op consumed AT
+    diagonal k0+x, 255 = none; iv', jv', stv', donev').
+    """
+    from ..utils.cigar import OP_D, OP_I, OP_M
+
+    ST_H, ST_E, ST_F = 0, 1, 2
+    KWp = _ceil_to(KW, LANES)
+    NBK = KWp // LANES
+
+    def kern(ptr_ref, st_in_ref, ops_ref, st_out_ref, s_i, s_j, s_st, s_dn):
+        g = pl.program_id(0)
+        kidx = KW - 1 - g  # descending diagonals
+        k = k0 + kidx
+        parrW = jax.lax.broadcasted_iota(jnp.int32, (B, Wp), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
+
+        @pl.when(g == 0)
+        def _init():
+            s_i[:] = st_in_ref[0]
+            s_j[:] = st_in_ref[1]
+            s_st[:] = st_in_ref[2]
+            s_dn[:] = st_in_ref[3]
+
+        # a fresh ops block starts at its top column (first touch)
+        @pl.when((g == 0) | (kidx % LANES == LANES - 1))
+        def _blank():
+            ops_ref[...] = jnp.full((B, LANES), 255, jnp.int32)
+
+        i = s_i[:]
+        j = s_j[:]
+        st = s_st[:]
+        done = s_dn[:]
+        kcur = i + j
+        act_blk = (done == 0) & (kcur == k)
+        num = k - dhi + 1
+        ih = jnp.maximum(0, num // 2)  # traced scalar; // floors negatives
+        p = jnp.clip(i - ih, 0, Wp - 1)
+        byte = jnp.sum(
+            jnp.where(parrW == p[:, 0:1], ptr_ref[0].astype(jnp.int32), 0),
+            axis=1,
+            keepdims=True,
+        )
+        byte = jnp.broadcast_to(byte, (B, LANES))
+        ph = byte & 3
+        ee = (byte >> _EXT_E_BIT) & 1
+        ef = (byte >> _EXT_F_BIT) & 1
+        in_h = st == ST_H
+        stop = act_blk & in_h & (ph == PTR_STOP)
+        done = jnp.where(stop, 1, done)
+        act = act_blk & (done == 0)
+        act_m = act & in_h & (ph == PTR_DIAG)
+        act_i = act & ((in_h & (ph == PTR_UP)) | (st == ST_F))
+        act_d = act & ((in_h & (ph == PTR_LEFT)) | (st == ST_E))
+        op = jnp.where(
+            act_m,
+            OP_M,
+            jnp.where(act_i, OP_I, jnp.where(act_d, OP_D, 255)),
+        ).astype(jnp.int32)
+        ops_ref[...] = jnp.where(lane == kidx % LANES, op, ops_ref[...])
+        st = jnp.where(
+            act_m,
+            ST_H,
+            jnp.where(
+                act_i,
+                jnp.where(ef == 1, ST_F, ST_H),
+                jnp.where(act_d, jnp.where(ee == 1, ST_E, ST_H), st),
+            ),
+        )
+        s_i[:] = i - (act_m | act_i).astype(jnp.int32)
+        s_j[:] = j - (act_m | act_d).astype(jnp.int32)
+        s_st[:] = st
+        s_dn[:] = done
+
+        @pl.when(g == KW - 1)
+        def _out():
+            st_out_ref[0] = s_i[:]
+            st_out_ref[1] = s_j[:]
+            st_out_ref[2] = s_st[:]
+            st_out_ref[3] = s_dn[:]
+
+    st_in = jnp.stack(
+        [
+            jnp.broadcast_to(x[:, None].astype(jnp.int32), (B, LANES))
+            for x in (iv, jv, stv, donev)
+        ]
+    )
+    ops, st_out = pl.pallas_call(
+        kern,
+        grid=(KW,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, B, Wp), lambda g: (KW - 1 - g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, B, LANES), lambda g: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (B, LANES), lambda g: (0, (KW - 1 - g) // LANES),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, B, LANES), lambda g: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KWp), jnp.int32),
+            jax.ShapeDtypeStruct((4, B, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, LANES), jnp.int32)] * 4,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+    )(ptrs, st_in)
+    return ops, st_out[0, :, 0], st_out[1, :, 0], st_out[2, :, 0], st_out[3, :, 0]

@@ -187,3 +187,39 @@ def test_banded_matrix_routes_through_dispatch(rng, monkeypatch):
     ref = nw_affine(q.astype(np.int32), t.astype(np.int32), sp, band=32)
     assert calls, "banded kernel path was not taken"
     assert (got.score, got.cigar) == (ref.score, ref.cigar)
+
+
+@pytest.mark.parametrize(
+    "qlens,tlens,band,CK",
+    [
+        ([64, 64], [64, 64], 12, 32),
+        ([50, 40, 30], [54, 44, 34], 6, 16),
+        ([40], [30], 8, 16),
+        ([200, 180], [190, 200], 20, 64),  # multiple super-blocks
+    ],
+)
+def test_banded_device_walk_parity(rng, qlens, tlens, band, CK):
+    """The on-device traceback walk kernel (band_walk_range) must be
+    bit-identical to the host walkers: full str-level oracle parity with
+    device_walk forced on (interpret mode here; the pointer blocks never
+    leave the device on real hardware)."""
+    qs, ts, qlen, tlen = _random_bucket(rng, qlens, tlens)
+    res = banded_align_batch(
+        qs, ts, qlen, tlen, SP, band, traceback=True, CK=CK, device_walk=True
+    )
+    for b in range(len(qlens)):
+        ref = nw_affine(qs[b][: qlens[b]], ts[b][: tlens[b]], SP, band=band)
+        assert str(res[b]) == str(ref), (b, res[b], ref)
+
+
+def test_banded_device_walk_matrix_scoring(rng):
+    sp = ScoringParams.blosum62()
+    qs, ts, qlen, tlen = _random_bucket(rng, [90, 70], [84, 77])
+    qs %= 20
+    ts %= 20
+    res = banded_align_batch(
+        qs, ts, qlen, tlen, sp, 10, traceback=True, CK=32, device_walk=True
+    )
+    for b in range(2):
+        ref = nw_affine(qs[b][: qlen[b]], ts[b][: tlen[b]], sp, band=10)
+        assert str(res[b]) == str(ref), (b, res[b], ref)
