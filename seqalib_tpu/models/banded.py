@@ -293,7 +293,12 @@ def banded_align_batch(
     import os as _os
 
     sb_bytes = int(_os.environ.get("SEQALIB_BANDED_SB_BYTES", str(64 * 1024**2)))
-    SB = max(1, min(16, sb_bytes // max(1, CK * B * Wp)))
+    # the 16-super-chunk cap bounded the HOST pointer haul; the device
+    # walk never fetches the block, so only the HBM allocation (sb_bytes)
+    # and per-launch overhead matter — a larger SB cuts launch count
+    # (100kb = ~780 chunks; at SB=16 that was still ~50 fill launches)
+    sb_cap = 64 if use_dev_walk else 16
+    SB = max(1, min(sb_cap, sb_bytes // max(1, CK * B * Wp)))
     NC_ALL = _ceil_to(K, CK) // CK  # total chunks (letter widths cover these)
     while not done.all() and ci >= 0:
         cg = (ci // SB) * SB  # super-block's first chunk
