@@ -224,9 +224,18 @@ def align_all_vs_all(
                 if shard is not None and os.path.exists(shard):
                     vals = np.load(shard)
                     kv = str(vals["key"]) if "key" in vals.files else ""
-                    if int(vals["n"]) == len(flat) and kv == key:
-                        si = vals["ii"] if "ii" in vals.files else ii
-                        sj = vals["jj"] if "jj" in vals.files else jj
+                    # a shard passing the key check is this layout version
+                    # and ALWAYS stores its own index vectors — loading a
+                    # shard without them under the bucket-grouped chunk
+                    # order would scatter results to the wrong pairs
+                    if (
+                        int(vals["n"]) == len(flat)
+                        and kv == key
+                        and "ii" in vals.files
+                        and "jj" in vals.files
+                    ):
+                        si = vals["ii"]
+                        sj = vals["jj"]
                         for f in fields:
                             out[f][si, sj] = vals[f]
                         resumed += 1

@@ -332,7 +332,7 @@ def banded_align_batch(
                 jnp.asarray(j, jnp.int32),
                 jnp.asarray(st, jnp.int32),
                 jnp.asarray(done, jnp.int32),
-                k0=k0,
+                k0,
                 KW=KW,
                 dhi=dhi,
                 Wp=Wp,

@@ -143,8 +143,10 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("L", "lo", "fill"))
-def _row_window(src, starts, hi, *, L, lo, fill):
+@functools.partial(
+    jax.jit, static_argnames=("L", "lo", "fill", "interpret")
+)
+def _row_window(src, starts, hi, *, L, lo, fill, interpret):
     """out[n, x] = src[n, starts[n] + x] where lo <= x < hi[n], else fill.
 
     The per-pair reversed-prefix extraction of the fused pass 2.  A
@@ -192,7 +194,7 @@ def _row_window(src, starts, hi, *, L, lo, fill):
             (SUBLANES, L), lambda g: (g, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((N, L), src.dtype),
-        interpret=jax.devices()[0].platform != "tpu",
+        interpret=interpret,
     )(starts.astype(jnp.int32), hi.astype(jnp.int32), src)
 
 
@@ -1365,7 +1367,9 @@ def _strip_local_fused(
 
     def _win(src, starts, hi, L, lo, fill):
         if fastwin:
-            return _row_window(src, starts, hi, L=L, lo=lo, fill=fill)
+            return _row_window(
+                src, starts, hi, L=L, lo=lo, fill=fill, interpret=interpret
+            )
         raw = jax.vmap(
             lambda row, start: jax.lax.dynamic_slice_in_dim(row, start, L)
         )(src, starts)
@@ -1457,6 +1461,7 @@ def _strip_local_fused(
                     L=WR,
                     lo=0,
                     fill=0,
+                    interpret=interpret,
                 ).reshape(B, 4, WR)
             else:
                 prof_qr = jax.vmap(

@@ -356,12 +356,15 @@ def _sp_fill(q, t, sp, mesh: Mesh, C, backend, sp_sub, want_tb):
         return int(out), geom
     score, tops, hcols, ecols = out
     steps = n_tiles + D - 1
+    # checkpoints stay ON DEVICE: at 100kb the left-column checkpoints
+    # are O(n * m/C) ints (~hundreds of MB) — the walk fetches only the
+    # per-tile slices it visits
     return (
         int(score),
         geom,
-        np.asarray(tops).reshape(D, steps, 2 * C + 1),
-        np.asarray(hcols).reshape(D, steps, R),
-        np.asarray(ecols).reshape(D, steps, R),
+        tops.reshape(D, steps, 2 * C + 1),
+        hcols.reshape(D, steps, R),
+        ecols.reshape(D, steps, R),
     )
 
 
@@ -390,6 +393,31 @@ def nw_affine_score_sp(
     return score
 
 
+_PTR_TILE_CACHE: dict = {}
+
+
+def _ptr_tile_fn(C, match, mismatch, o, e, has_table):
+    """Cached jitted pointer-tile recompute (one program per static
+    config).  A fresh @jax.jit inside nw_affine_align_sp would have a
+    new identity per call and re-trace/re-compile the identical program
+    every alignment — the stale-wrapper cost dist._cached_sharded_jit
+    exists to avoid.  n=m=0 disables the (irrelevant) end-cell capture;
+    i0 only feeds that check, so it is fixed out of the cache key."""
+    key = (C, match, mismatch, o, e, has_table)
+    fn = _PTR_TILE_CACHE.get(key)
+    if fn is None:
+
+        def _ptr_tile(qb, tp, j0, H_top, F_top, Hcol0, Ecol0, tbl):
+            return _tile_scan(
+                qb, tp, j0, H_top, F_top, Hcol0, Ecol0, jnp.int32(NEG),
+                C=C, i0=0, n=0, m=0, match=match, mismatch=mismatch,
+                o=o, e=e, table=tbl if has_table else None, want_ptr=True,
+            )[5]
+
+        fn = _PTR_TILE_CACHE[key] = jax.jit(_ptr_tile)
+    return fn
+
+
 def _rescore_global_affine(q, t, ops, sp) -> int:
     """Score a global alignment given as a CIGAR op list (verification)."""
     from ..utils.cigar import OP_D, OP_I, OP_M
@@ -413,7 +441,8 @@ def _rescore_global_affine(q, t, ops, sp) -> int:
             else:
                 j += 1
         prev = op
-    assert i == len(q) and j == len(t), "CIGAR must consume both sequences"
+    if i != len(q) or j != len(t):  # survives python -O
+        raise RuntimeError("CIGAR must consume both sequences")
     return s
 
 
@@ -457,17 +486,11 @@ def nw_affine_align_sp(q, t, sp, mesh: Mesh, C: int = 128):
         else None
     )
     t_dev = jax.device_put(np.asarray(t_pad))
-
-    @jax.jit
-    def _ptr_tile(qb, tp, j0, H_top, F_top, Hcol0, Ecol0):
-        # n=m=0 disables the (irrelevant) end-cell capture; i0 likewise
-        # only feeds that check, so any value works — keep it out of the
-        # jit cache key by fixing it
-        return _tile_scan(
-            qb, tp, j0, H_top, F_top, Hcol0, Ecol0, jnp.int32(NEG),
-            C=C, i0=0, n=0, m=0, match=sp.match, mismatch=sp.mismatch,
-            o=sp.gap_open, e=sp.gap_extend, table=tbl, want_ptr=True,
-        )[5]
+    _ptr_tile = _ptr_tile_fn(
+        C, sp.match, sp.mismatch, sp.gap_open, sp.gap_extend,
+        sp.matrix is not None,
+    )
+    tbl_arg = tbl if tbl is not None else jnp.zeros((1, 1), jnp.int32)
 
     ptr_cache: dict = {}
 
@@ -481,10 +504,11 @@ def nw_affine_align_sp(q, t, sp, mesh: Mesh, C: int = 128):
                     jnp.asarray(q_pad[d * R : (d + 1) * R]),
                     t_dev,
                     tt * C,
-                    jnp.asarray(top[: C + 1]),
-                    jnp.asarray(top[C + 1 :]),
-                    jnp.asarray(hcols[d, s_idx]),
-                    jnp.asarray(ecols[d, s_idx]),
+                    top[: C + 1],
+                    top[C + 1 :],
+                    hcols[d, s_idx],
+                    ecols[d, s_idx],
+                    tbl_arg,
                 )
             )
         return ptr_cache[key]
@@ -527,7 +551,8 @@ def nw_affine_align_sp(q, t, sp, mesh: Mesh, C: int = 128):
                 j -= 1
     ops.reverse()
     walked = _rescore_global_affine(q, t, ops, sp)
-    assert walked == score, (
-        f"SP traceback rescore {walked} != fill score {score}"
-    )
+    if walked != score:  # not an assert: must survive python -O
+        raise RuntimeError(
+            f"SP traceback rescore {walked} != fill score {score}"
+        )
     return AlignResult(int(score), 0, n, 0, m, ops_to_cigar(ops))
