@@ -247,22 +247,31 @@ def align_all_vs_all(
                     )
                 Qc, Rc = Qmat[ai], Rmat[bj]
                 qlc, rlc = qleng[ai], rleng[bj]
+                # tail-chunk shape pinning: when this bucket pair spans
+                # multiple chunks, pad the tail to the FULL chunk row
+                # count — a distinct tail batch shape re-traces and
+                # re-compiles its own program (~10s each through the
+                # remote compile path, measured INSIDE the timed region
+                # of bench 5); the zero-length sentinel rows are masked
+                # in-kernel and skipped in result writes
+                pad_rows = chunk_pairs if total > chunk_pairs else len(flat)
                 if mesh is not None:
                     # zero-length sentinel tail: the sharded paths need the
                     # batch divisible by the mesh axis (dispatch_batch's
                     # pad_batch_to, kept here since we bypass it)
                     from .parallel.dist import PAIR_AXIS
 
-                    padn = (-len(flat)) % mesh.shape[PAIR_AXIS]
-                    if padn:
-                        Qc = np.concatenate(
-                            [Qc, np.zeros((padn, Qc.shape[1]), Qc.dtype)]
-                        )
-                        Rc = np.concatenate(
-                            [Rc, np.zeros((padn, Rc.shape[1]), Rc.dtype)]
-                        )
-                        qlc = np.concatenate([qlc, np.zeros(padn, np.int32)])
-                        rlc = np.concatenate([rlc, np.zeros(padn, np.int32)])
+                    pad_rows += (-pad_rows) % mesh.shape[PAIR_AXIS]
+                padn = pad_rows - len(flat)
+                if padn:
+                    Qc = np.concatenate(
+                        [Qc, np.zeros((padn, Qc.shape[1]), Qc.dtype)]
+                    )
+                    Rc = np.concatenate(
+                        [Rc, np.zeros((padn, Rc.shape[1]), Rc.dtype)]
+                    )
+                    qlc = np.concatenate([qlc, np.zeros(padn, np.int32)])
+                    rlc = np.concatenate([rlc, np.zeros(padn, np.int32)])
                 res = run_bucket(
                     Qc,
                     Rc,
