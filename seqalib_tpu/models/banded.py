@@ -123,6 +123,20 @@ def banded_align_batch(
     ts = np.asarray(ts, np.int32)
     qlen = np.asarray(qlen, np.int64)
     tlen = np.asarray(tlen, np.int64)
+    B0 = qs.shape[0]
+    if B0 % 8:
+        # Mosaic rejects non-sublane-aligned batch slices on real TPU
+        # ("Slice shape along dimension 0 must be aligned to tiling (8)");
+        # pad with zero-length sentinel pairs and slice the results off
+        padb = 8 - B0 % 8
+        qs = np.concatenate([qs, np.zeros((padb, qs.shape[1]), qs.dtype)])
+        ts = np.concatenate([ts, np.zeros((padb, ts.shape[1]), ts.dtype)])
+        qlen = np.concatenate([qlen, np.zeros(padb, qlen.dtype)])
+        tlen = np.concatenate([tlen, np.zeros(padb, tlen.dtype)])
+        return banded_align_batch(
+            qs, ts, qlen, tlen, sp, band, traceback=traceback, CK=CK,
+            device=device, device_walk=device_walk,
+        )[:B0]
     deltas = tlen - qlen
     B = qs.shape[0]
     n = int(qlen.max())
@@ -167,8 +181,11 @@ def banded_align_batch(
         ns = n_band_state(profile, False)
         per_pair += 2 * (CK * Wp + ns * Wp * 4)
     max_b = max(1, vmem_cap // per_pair)
-    if max_b > 8:
-        max_b -= max_b % 8  # sublane-aligned batches (Mosaic tiling)
+    # chunks stay sublane-aligned with a floor of 8: Mosaic rejects sub-8
+    # batch slices, and a sub-8 chunk would bounce against the pad-to-8
+    # entry guard forever (the VMEM estimate has slack; the default cap
+    # is half the real budget)
+    max_b = max(8, max_b - max_b % 8)
     if B > max_b:
         log.info(
             "banded VMEM guard: chunking %d pairs into <=%d-pair calls "
