@@ -22,7 +22,7 @@ from .types import (  # noqa: F401
     encode_protein,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def align(query, target, scoring=None, mode="global", band=None, backend="xla"):
