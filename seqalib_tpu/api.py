@@ -204,6 +204,18 @@ def align_all_vs_all(
 
     ci = 0
     resumed = 0
+    pending = None  # in-flight chunk: (finalize, n_valid, ii, jj, shard)
+
+    def _collect(p):
+        fin, nflat, ii_, jj_, shard_ = p
+        res = fin()
+        vals = {f: np.asarray(res[f][:nflat], np.int32) for f in fields}
+        for f in fields:
+            out[f][ii_, jj_] = vals[f]
+        if shard_ is not None:
+            tmp = shard_ + ".tmp.npz"
+            np.savez(tmp, n=np.int64(nflat), key=key, ii=ii_, jj=jj_, **vals)
+            os.replace(tmp, shard_)
     for qbl, (qidx, Qmat, qleng) in qg.items():
         for rbl, (ridx, Rmat, rleng) in rg.items():
             NRg = len(ridx)
@@ -272,7 +284,7 @@ def align_all_vs_all(
                     )
                     qlc = np.concatenate([qlc, np.zeros(padn, np.int32)])
                     rlc = np.concatenate([rlc, np.zeros(padn, np.int32)])
-                res = run_bucket(
+                fin = run_bucket(
                     Qc,
                     Rc,
                     qlc,
@@ -283,16 +295,18 @@ def align_all_vs_all(
                     backend,
                     False,
                     mesh=mesh,
+                    launch_only=True,
                 )
-                vals = {f: np.asarray(res[f][: len(flat)], np.int32)
-                        for f in fields}
-                for f in fields:
-                    out[f][ii, jj] = vals[f]
-                if shard is not None:
-                    tmp = shard + ".tmp.npz"
-                    np.savez(tmp, n=np.int64(len(flat)), key=key,
-                             ii=ii, jj=jj, **vals)
-                    os.replace(tmp, shard)
+                # one-chunk lookahead: this chunk's device work is in
+                # flight; finalize the PREVIOUS chunk now so its
+                # gather/assembly overlaps with this one's compute and
+                # the next iteration's host prep overlaps with this
+                # one's transfer (JAX dispatch is async)
+                if pending is not None:
+                    _collect(pending)
+                pending = (fin, len(flat), ii, jj, shard)
+    if pending is not None:
+        _collect(pending)
     if resumed:
         log.info("align_all_vs_all resumed %d finished chunk shards", resumed)
     return out

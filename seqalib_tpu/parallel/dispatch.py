@@ -62,8 +62,15 @@ def run_bucket(
     backend: str,
     traceback: bool,
     mesh=None,
+    launch_only: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Run one padded bucket (B, Lq) x (B, Lt) on a device backend."""
+    """Run one padded bucket (B, Lq) x (B, Lt) on a device backend.
+
+    ``launch_only``: return a 0-arg finalize callable instead of the
+    result dict; on the sharded strip fast path the device work is left
+    in flight so the caller can overlap host prep of the next bucket
+    (align_all_vs_all's streaming loop); other routes finalize eagerly
+    and the callable just hands the result back."""
     import jax.numpy as jnp
 
     table = jnp.asarray(sentinel_table(sp))
@@ -97,6 +104,7 @@ def run_bucket(
                 gap_extend=sp.gap_extend,
                 affine=affine,
                 want_tb=traceback,
+                launch_only=launch_only,
             )
         from .dist import gather_to_host, wavefront_sharded
 
@@ -110,7 +118,8 @@ def run_bucket(
                 mode,
                 band,
             )
-        return gather_to_host(wavefront_sharded(mesh, *args, **kwargs))
+        res = gather_to_host(wavefront_sharded(mesh, *args, **kwargs))
+        return (lambda r=res: r) if launch_only else res
     if backend == "xla":
         from ..ops.wavefront_xla import wavefront_bucket
 
@@ -121,7 +130,8 @@ def run_bucket(
         out = pallas_bucket(*args, **kwargs)
     else:
         raise ValueError(f"unknown device backend {backend!r}")
-    return {k: np.asarray(v) for k, v in out.items()}
+    res = {k: np.asarray(v) for k, v in out.items()}
+    return (lambda r=res: r) if launch_only else res
 
 
 def _decode_ops_rev(row: np.ndarray) -> str:

@@ -134,6 +134,7 @@ def strip_sharded(
     affine: bool,
     want_tb: bool,
     BSUB: Optional[int] = None,
+    launch_only: bool = False,
 ):
     """Pair-stream sharding of the strip-kernel fast path (SURVEY.md §3.2-1:
     ``pl.pallas_call`` inside the shard_map body; VERDICT.md round-1 item 2).
@@ -233,8 +234,38 @@ def strip_sharded(
     # never reuse another config's compiled program
     key = ("strip", mesh, gmode, bool(want_tb), BSUB, interpret,
            tuple(sorted(fn.keywords.items())))
-    res = gather_to_host(_cached_sharded_jit(key, build)(*args))
+    res_dev = _cached_sharded_jit(key, build)(*args)
+    fin = functools.partial(
+        _strip_finalize, res_dev, gmode=gmode, affine=affine,
+        gap_open=gap_open, gap_extend=gap_extend, want_tb=want_tb,
+        BSUB=BSUB, B0=B0, n_pad=qpad.shape[1],
+        NB=(t2.shape[1] - _LANES()) // _LANES(), q=q, t=t, qlen=qlen,
+        tlen=tlen, table_h=table_h, interpret=interpret,
+    )
+    if launch_only:
+        # streaming overlap (align_all_vs_all): hand back a finalize
+        # closure over the in-flight device results so the caller can
+        # prep the NEXT chunk while this one computes/transfers;
+        # finalize() is the sync point (gather + escalation + assembly)
+        return fin
+    return fin()
+
+
+def _LANES():
+    from ..ops.strip_pallas import LANES
+
+    return LANES
+
+
+def _strip_finalize(res_dev, *, gmode, affine, gap_open, gap_extend,
+                    want_tb, BSUB, B0, n_pad, NB, q, t, qlen, tlen,
+                    table_h, interpret):
+    """Sync point of a strip_sharded launch: gather + escalation +
+    host-side assembly (pointer walk / window traceback)."""
+    res = gather_to_host(res_dev)
     if gmode:
+        from ..ops.strip_pallas import _global_post
+
         return _global_post(
             np.asarray(res["bv"]).astype(np.int32),
             res.get("P"),
@@ -246,8 +277,8 @@ def strip_sharded(
             want_tb=want_tb,
             BSUB=BSUB,
             B0=B0,
-            n_pad=qpad.shape[1],
-            NB=(t2.shape[1] - LANES) // LANES,
+            n_pad=n_pad,
+            NB=NB,
         )
 
     score = res["score"].astype(np.int32)
@@ -257,7 +288,7 @@ def strip_sharded(
     ts = res["ts"].astype(np.int32)
     fail = (res["score2"].astype(np.int32) != score) & (score > 0)
     if fail.any():
-        from ..ops.strip_pallas import TI
+        from ..ops.strip_pallas import TI, _reverse_starts
 
         qs2, ts2 = _reverse_starts(
             q, t, np.where(fail, score, 0), qe, te, table_h,
