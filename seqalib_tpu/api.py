@@ -266,7 +266,16 @@ def align_all_vs_all(
                 # remote compile path, measured INSIDE the timed region
                 # of bench 5); the zero-length sentinel rows are masked
                 # in-kernel and skipped in result writes
-                pad_rows = chunk_pairs if total > chunk_pairs else len(flat)
+                if total > chunk_pairs:
+                    pad_rows = chunk_pairs
+                else:
+                    # single-chunk bucket pairs round up to the next
+                    # power of two (capped at chunk_pairs): a bounded
+                    # shape set instead of one compile per batch size
+                    pad_rows = 8
+                    while pad_rows < len(flat):
+                        pad_rows *= 2
+                    pad_rows = min(pad_rows, chunk_pairs)
                 if mesh is not None:
                     # zero-length sentinel tail: the sharded paths need the
                     # batch divisible by the mesh axis (dispatch_batch's

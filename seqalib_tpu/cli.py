@@ -179,10 +179,16 @@ def _bench_five(args) -> dict:
     # warmup: compile the programs the timed product will hit — including
     # the FULL chunk-row batch shape (enough reads x all refs to fill at
     # least one chunk_pairs chunk per bucket pair; a 64x8 warmup left the
-    # 8192-row chunk programs compiling inside the timed region)
-    n_warm = min(len(reads),
-                 max(1, -(-args.chunk_pairs // max(1, len(refs))) + 1))
-    align_all_vs_all(reads[:n_warm], refs, **kw)
+    # 8192-row chunk programs compiling inside the timed region).  For
+    # single-chunk products a full-shape warmup would BE the product run
+    # twice — use the small smoke warmup there instead.
+    if len(reads) * len(refs) <= args.chunk_pairs:
+        align_all_vs_all(reads[: min(64, len(reads))],
+                         refs[: min(8, len(refs))], **kw)
+    else:
+        n_warm = min(len(reads),
+                     max(1, -(-args.chunk_pairs // max(1, len(refs))) + 1))
+        align_all_vs_all(reads[:n_warm], refs, **kw)
     ctx = None
     if args.trace:
         import jax

@@ -154,10 +154,10 @@ def strip_sharded(
     import jax.numpy as jnp
 
     from ..ops.strip_pallas import (
+        LANES,
         SUBLANES,
         _ceil_to,
         _prep_strip,
-        _reverse_starts,
         _strip_local_fused,
     )
 
@@ -199,7 +199,7 @@ def strip_sharded(
     from ..ops.strip_pallas import fused_pass2_knobs, fused_wr as _fwr
 
     if gmode:
-        from ..ops.strip_pallas import LANES, _global_post, _strip_fill
+        from ..ops.strip_pallas import _strip_fill
 
         fn = _ft.partial(
             _strip_fill, **kwc, BSUB=BSUB, interpret=interpret,
@@ -239,7 +239,7 @@ def strip_sharded(
         _strip_finalize, res_dev, gmode=gmode, affine=affine,
         gap_open=gap_open, gap_extend=gap_extend, want_tb=want_tb,
         BSUB=BSUB, B0=B0, n_pad=qpad.shape[1],
-        NB=(t2.shape[1] - _LANES()) // _LANES(), q=q, t=t, qlen=qlen,
+        NB=(t2.shape[1] - LANES) // LANES, q=q, t=t, qlen=qlen,
         tlen=tlen, table_h=table_h, interpret=interpret,
     )
     if launch_only:
@@ -249,12 +249,6 @@ def strip_sharded(
         # finalize() is the sync point (gather + escalation + assembly)
         return fin
     return fin()
-
-
-def _LANES():
-    from ..ops.strip_pallas import LANES
-
-    return LANES
 
 
 def _strip_finalize(res_dev, *, gmode, affine, gap_open, gap_extend,
