@@ -134,3 +134,43 @@ def test_sharded_banded_matches_unsharded(mesh, rng):
     )
     b = align_batch(qs, ts, scoring=sp, mode="global", band=16, backend="pallas")
     assert a == b
+
+
+def test_strip_sharded_escalation_and_lookahead(monkeypatch):
+    """Escalation through the MESH path's finalize closure: an alignment
+    taller than a pinned 128-row fused window must escalate inside
+    _strip_finalize (the launch/finalize split added for the streaming
+    lookahead) and still return canonical coords — both via the sync
+    call and via launch_only."""
+    import numpy as np
+
+    from seqalib_tpu.oracle import sw_affine
+    from seqalib_tpu.parallel.dist import make_pair_mesh, strip_sharded
+    from seqalib_tpu.parallel.dispatch import sentinel_table
+    from seqalib_tpu.types import ScoringParams
+
+    monkeypatch.setenv("SEQALIB_FUSED_WR", "128")
+    rng = np.random.default_rng(5)
+    sp = ScoringParams.affine(match=2, mismatch=-3, gap_open=-4,
+                              gap_extend=-1)
+    n = 200
+    base = rng.integers(0, 4, n).astype(np.int32)
+    q = np.stack([base] * 3)
+    t = q.copy()
+    t[1, 50] = (t[1, 50] + 1) % 4
+    qlen = np.full(3, n, np.int32)
+    mesh = make_pair_mesh()
+    kw = dict(mode="local", gap_open=sp.gap_open, gap_extend=sp.gap_extend,
+              affine=True, want_tb=False)
+    out = strip_sharded(mesh, q, t, qlen, qlen, sentinel_table(sp), **kw)
+    fin = strip_sharded(mesh, q, t, qlen, qlen, sentinel_table(sp),
+                        launch_only=True, **kw)
+    out2 = fin()
+    for b in range(3):
+        ref = sw_affine(q[b], t[b], sp)
+        for o in (out, out2):
+            got = (int(o["score"][b]), int(o["qs"][b]), int(o["qe"][b]),
+                   int(o["ts"][b]), int(o["te"][b]))
+            assert got == (ref.score, ref.query_start, ref.query_end,
+                           ref.target_start, ref.target_end), (b, got)
+        assert out["qe"][b] - out["qs"][b] > 128  # escalation actually hit
