@@ -119,11 +119,16 @@ def main():
 
                 print(
                     f"WARNING: {n_esc}/{B} pairs escalated past the fused "
-                    "window; their host-side rescan cost is NOT in the "
-                    "timed region",
+                    "window; per the headline policy (BASELINE.md) this "
+                    "run is NOT a headline candidate",
                     file=sys.stderr,
                 )
-                coords_label = f"start+end(2pass,{n_esc}esc)"
+                # escalated runs are invalid headline runs, full stop
+                # (BASELINE.md policy): the metric is printed (the driver
+                # must record SOMETHING) but marked invalid
+                coords_label = (
+                    f"start+end(2pass,{n_esc}esc,INVALID-HEADLINE)"
+                )
             assert n_esc <= max(2, B // 50), (
                 f"{n_esc} pairs escalated past the fused window"
             )

@@ -42,6 +42,11 @@ def align(
 ) -> AlignResult:
     """Align one query/target pair and return score, coords, CIGAR."""
     sp = scoring if scoring is not None else ScoringParams.linear()
+    if band is not None and mode == "local":
+        raise ValueError(
+            "banded local alignment is out of contract: band= applies to "
+            'mode="global" only (BASELINE.json:10 is banded affine NW)'
+        )
     cfg = AlignConfig(mode=mode, band=band, backend=backend)
     q = _coerce(query, sp)
     t = _coerce(target, sp)
@@ -72,6 +77,14 @@ def align_batch(
 ) -> List[AlignResult]:
     """Align pairs[i] = (queries[i], targets[i]) through the batched
     length-bucketed dispatcher (device-parallel when a mesh is given)."""
+    if band is not None and mode == "local":
+        # one behavior for every backend: the backends used to disagree
+        # (oracle ignored the band, xla ran a full-matrix masked banded
+        # local, pallas raised deep in the kernel layer)
+        raise ValueError(
+            "banded local alignment is out of contract: band= applies to "
+            'mode="global" only (BASELINE.json:10 is banded affine NW)'
+        )
     sp = scoring if scoring is not None else ScoringParams.linear()
     qs = [_coerce(q, sp) for q in queries]
     ts = [_coerce(t, sp) for t in targets]

@@ -26,8 +26,9 @@ Boundary protocol matches `_tile_scan` (band_pipeline.py): in: top H
 row (corner + C columns), top F row, left H/E columns; out: bottom H/F
 rows, right H/E columns, max-merged capture of global cell (n, m).
 
-Scalar match/mismatch scoring (the long-read domain, as models/banded);
-packed-profile matrix scoring is the planned follow-up.
+Scoring: scalar match/mismatch (the long-read domain, as models/banded)
+or packed-nibble substitution-matrix profiles (see the profile branch in
+`_sp_tile_kernel` and `sp_tile_step(profile=True)`).
 """
 
 from __future__ import annotations

