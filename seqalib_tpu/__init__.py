@@ -58,6 +58,17 @@ def align_score_sp(query, target, scoring, mesh, **kw):
     return nw_affine_score_sp(query, target, scoring, mesh, **kw)
 
 
+def align_score_banded_sp(queries, targets, scoring, band, mesh, **kw):
+    """Banded affine global score(s) with ONE pair's band split into
+    per-device row blocks relayed over ``mesh``'s 'band' axis (boundary
+    rows injected/captured in-kernel, one ppermute per block hop; D-fold
+    throughput with >= D pairs in flight).  See
+    `seqalib_tpu.parallel.banded_sp.banded_nw_affine_score_sp`."""
+    from .parallel.banded_sp import banded_nw_affine_score_sp
+
+    return banded_nw_affine_score_sp(queries, targets, scoring, band, mesh, **kw)
+
+
 def align_sp(query, target, scoring, mesh, **kw):
     """Global affine alignment (score + full CIGAR) of ONE long pair over
     ``mesh``'s 'band' axis: SP pipeline fill with boundary checkpointing,

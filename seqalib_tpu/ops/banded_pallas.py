@@ -67,9 +67,11 @@ def _ceil_to(x: int, m: int) -> int:
 def stream_windows(Wp: int, CK: int):
     """(WQW, WTW): per-chunk VMEM letter-window widths in streaming mode.
     Single source of truth — models/banded.py's VMEM chunking guard uses
-    the same values to size batches."""
-    WQW = _ceil_to(Wp + CK // 2 + 2 + 2 * LANES, LANES)
-    WTW = _ceil_to(CK + 2 + 2 * LANES, LANES)
+    the same values to size batches.  The extra 2*LANES beyond the sliding
+    span covers the static-phase group top-up block loads (aligned
+    (B, 2*LANES) supersets around the last insert column of a chunk)."""
+    WQW = _ceil_to(Wp + CK // 2 + 2 + 4 * LANES, LANES)
+    WTW = _ceil_to(CK + 2 + 4 * LANES, LANES)
     return WQW, WTW
 
 
@@ -93,11 +95,11 @@ def _band_kernel(
     dloc_ref,  # (B, 128) i32 per-pair band lower bound on j - i
     dhic_ref,  # (B, 128) i32 per-pair band upper bound
     state_in_ref,  # (N_STATE, B, Wp) i32 resume state
-    score_ref,  # (B, Wp) i32 masked final-score capture (accumulating)
-    state_out_ref,  # (N_STATE, B, Wp) i32 state after the last diagonal
-    ckpt_ref,  # (1, N_STATE, B, Wp) i32 per-chunk snapshot (chunk start)
-    ptr_ref,  # (CK, B, Wp) i8 pointer block (dummy (1,B,Wp) if !want_ptr)
-    *state_scratch,  # N_STATE x (B, Wp) i32
+    # with binject two more inputs follow here: bh_ref/bf_ref (B, Wb) i32
+    # boundary-row H/F streams (banded-SP: the previous row block's last
+    # row, injected as this block's row 0 during the clamp zone)
+    *refs,  # [bh_ref, bf_ref,] score_ref, state_out_ref, ckpt_ref,
+    # ptr_ref, [bout_ref,] then N_STATE (B, Wp) scratch (+ stream scratch)
     CK: int,
     NSUB: int,
     k_start: int,
@@ -116,11 +118,27 @@ def _band_kernel(
     profile: bool,
     emode: bool,
     stream: bool,
-    steady: bool,
+    phase: str,
+    want_score: bool,
+    tie_safe: bool,
+    smax: int,
+    binject: bool,
+    want_bout: bool,
+    bout_row: int,
     WQW: int,
     WTW: int,
 ):
     NS = n_band_state(profile, emode)
+    refs = list(refs)
+    if binject:
+        bh_ref, bf_ref = refs[:2]
+        del refs[:2]
+    score_ref, state_out_ref, ckpt_ref, ptr_ref = refs[:4]
+    del refs[:4]
+    if want_bout:
+        bout_ref = refs[0]  # (2, B, Wb) accumulating boundary capture
+        del refs[:1]
+    state_scratch = refs
     g = pl.program_id(0)
     o, e = gap_open, gap_extend
     NEG = jnp.int32(NEG_INF)
@@ -135,7 +153,6 @@ def _band_kernel(
     dlov = dloc_ref[:, 0:1]
     dhiv = dhic_ref[:, 0:1]
 
-    state_scratch = list(state_scratch)
     if stream:
         qwin, twin, semq, semt = state_scratch[-4:]
         del state_scratch[-4:]
@@ -145,6 +162,9 @@ def _band_kernel(
         for a in range(NS):
             state_scratch[a][:] = state_in_ref[a, :, :]
         score_ref[:] = jnp.full((B, Wp), NEG, jnp.int32)
+        if want_bout:
+            bout_ref[0] = jnp.full((B, bout_ref.shape[2]), NEG, jnp.int32)
+            bout_ref[1] = jnp.full((B, bout_ref.shape[2]), NEG, jnp.int32)
 
     if want_ckpt:
         # checkpoint = state entering this chunk (diagonal k0 = chunk start)
@@ -209,7 +229,9 @@ def _band_kernel(
             blk = ref[gi, :, pl.ds(off, LANES)]
         return jnp.sum(jnp.where(lane128 == (xs - off), blk, 0), axis=1, keepdims=True)
 
-    def substep(k, st, dstat=None, tops=None):
+    static_phase = phase in ("clamp", "steady")
+
+    def substep(k, st, dstat=None, tops=None, binj=None):
         H1, H2, E1, F1 = st[:4]
         if emode:
             qws = list(st[4:-3])
@@ -219,10 +241,11 @@ def _band_kernel(
             TW = st[-1]
         live = k < K
 
-        ih = ihat(k)
+        ih = 0 if phase == "clamp" else ihat(k)
         if dstat is not None:
-            # steady zone (k >= dhi+1): the ihat deltas are pure parity
-            # functions of k, precomputed as PYTHON ints by `group` — every
+            # static phases: the ihat deltas are pure parity functions of
+            # k (steady zone k >= dhi+1) or identically zero (clamp zone
+            # k <= dhi), precomputed as PYTHON ints by `group` — every
             # roll below gets a static shift (half of them shift-0 no-ops)
             d1, d2 = dstat
         else:
@@ -230,35 +253,33 @@ def _band_kernel(
             d2 = ih - ihat(k - 2)  # {0, 1, 2}
 
         # sliding windows (QW/PWg[p] = src[ih+p-1], TW[p] = t[k-ih-p-1]).
-        # With STATIC deltas (steady zone) the redundant half of the
-        # maintenance drops out: d1 == 0 leaves ihat (hence every query
-        # window) bit-identical — the roll is shift-0 and the insert
-        # rewrites slot Wp-1 with its own value; d1 == 1 leaves k - ihat
-        # (hence TW) bit-identical the same way.  Skipping them is exact,
-        # not approximate, and removes ~half the col() cross-lane reduces
+        # With STATIC deltas the redundant half of the maintenance drops
+        # out: d1 == 0 leaves ihat (hence every query window)
+        # bit-identical — the roll is shift-0 and the insert rewrites slot
+        # Wp-1 with its own value; d1 == 1 leaves k - ihat (hence TW)
+        # bit-identical the same way.  Skipping them is exact, not
+        # approximate, and removes ~half the col() cross-lane reduces
         # per substep (VERDICT.md round-2 item 1's second audit target).
         if dstat is None or d1 == 1:
             for gi in range(len(qws)):
                 w = _roll_norm(qws[gi], -d1)
                 if tops is not None:
-                    # group-batched top-up: the pre-rolled superset block
-                    # already holds the wanted letter/word at lane Wp-1
-                    qws[gi] = jnp.where(parr == Wp - 1, tops[0][gi], w)
+                    # group-batched top-up: (B, 1) column extracted from
+                    # the group's pre-rotated superset block
+                    top = tops[0][gi]
                 else:
                     top = col(qsrc, ih + Wp - 1 - qbase, gi if profile else None)
-                    qws[gi] = jnp.where(
-                        parr == Wp - 1, jnp.broadcast_to(top, (B, Wp)), w
-                    )
+                qws[gi] = jnp.where(
+                    parr == Wp - 1, jnp.broadcast_to(top, (B, Wp)), w
+                )
         if dstat is None or d1 == 0:
             TW = _roll_norm(TW, 1 - d1)
-            if tops is not None:
-                TW = jnp.where(parr == 0, tops[1], TW)
-            else:
-                tlow = col(tsrc, k - ih - tbase)
-                TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
+            tlow = tops[1] if tops is not None else col(tsrc, k - ih - tbase)
+            TW = jnp.where(parr == 0, jnp.broadcast_to(tlow, (B, Wp)), TW)
 
-        ivec = ih + parr
-        jvec = k - ivec
+        if not static_phase:
+            ivec = ih + parr
+            jvec = k - ivec
         if profile:
             # packed-nibble lookup: group select by TW>>3, nibble by TW&7
             grp = qws[0]
@@ -293,6 +314,11 @@ def _band_kernel(
             origin = (k == 0) & (ivec == 0)
             Hn = jnp.where(origin, 0, Hn)
             ptr = jnp.where(origin, PTR_STOP, ptr)
+        elif phase == "clamp":
+            # clamp zone contains k=0: ih == 0, so the origin is slot 0
+            origin = (k == 0) & (parr == 0)
+            Hn = jnp.where(origin, 0, Hn)
+            ptr = jnp.where(origin, PTR_STOP, ptr)
         else:
             origin = False  # steady zone starts past k=0 (asserted)
 
@@ -317,6 +343,24 @@ def _band_kernel(
             Hn = jnp.where(edge, NEG, Hn)
             En = jnp.where(edge, NEG, En)
             Fn = jnp.where(edge, NEG, Fn)
+        elif static_phase:
+            # out-of-band / out-of-matrix cells are exactly NEG (oracle
+            # banded parity).  In static phases the six wide compares
+            # reduce to a per-pair slot interval [plo, phi] computed with
+            # narrow (B, 1) arithmetic:
+            #   dkj <= dhiv  ->  p >= ceil((k - dhiv)/2) - ih
+            #   jvec<= tlenv ->  p >= k - tlenv - ih
+            #   dkj >= dlov  ->  p <= (k - dlov)//2 - ih
+            #   ivec<= qlenv ->  p <= qlenv - ih
+            #   jvec>= 0     ->  p <= k - ih        (ivec >= 0: p >= 0 always)
+            plo = jnp.maximum((k - dhiv + 1) // 2, k - tlenv) - ih
+            phi = jnp.minimum(jnp.minimum((k - dlov) // 2, qlenv), k) - ih
+            ok = (parr >= plo) & (parr <= phi)
+            Hn = jnp.where(ok, Hn, NEG)
+            if phase == "clamp":
+                Hn = jnp.where(origin, 0, Hn)
+            En = jnp.where(ok, En, NEG)
+            Fn = jnp.where(ok, Fn, NEG)
         else:
             # out-of-band / out-of-matrix cells are exactly NEG (oracle
             # banded parity)
@@ -329,13 +373,53 @@ def _band_kernel(
                 & (jvec >= 0)
                 & (jvec <= tlenv)
             )
-            if dstat is None:
-                ok = ok & ~origin
-                Hn = jnp.where(origin, 0, jnp.where(ok, Hn, NEG))
-            else:
-                Hn = jnp.where(ok, Hn, NEG)
+            ok = ok & ~origin
+            Hn = jnp.where(origin, 0, jnp.where(ok, Hn, NEG))
             En = jnp.where(ok, En, NEG)
             Fn = jnp.where(ok, Fn, NEG)
+
+        if binject and (dstat is None or phase == "clamp"):
+            # boundary-row injection (banded-SP, parallel/banded_sp.py):
+            # local row 0 is the PREVIOUS row block's last row; its cells
+            # (0, k) occupy slot 0 while ihat == 0 (k <= dhi).  Overwrite
+            # the computed junk with the streamed boundary values AFTER
+            # the mask (they must survive it).  E(0, .) is never read by
+            # row 1 (E is within-row), so only H and F are injected.
+            # Placed after the origin forcing too: for a resumed block the
+            # local (0, 0) cell is the boundary corner, not the DP origin.
+            if binj is not None:
+                bhk, bfk = binj
+            else:
+                wb1 = bh_ref.shape[1] - 1
+                bhk = col(bh_ref, jnp.minimum(k, wb1))
+                bfk = col(bf_ref, jnp.minimum(k, wb1))
+            if phase == "clamp":
+                inj = parr == 0
+            else:
+                inj = (parr == 0) & (k <= jnp.int32(dhi))
+            Hn = jnp.where(inj, jnp.broadcast_to(bhk, (B, Wp)), Hn)
+            Fn = jnp.where(inj, jnp.broadcast_to(bfk, (B, Wp)), Fn)
+
+        if want_bout:
+            # boundary-row capture (banded-SP): cells of local row
+            # `bout_row` (this block's last computed row) surface at slot
+            # bout_row - ihat(k) over diagonals [2*bout_row, 2*bout_row +
+            # D); capture column x = k - 2*bout_row receives (H, F) of
+            # cell (bout_row, bout_row + x) — exactly the next block's
+            # bh/bf stream layout (hitx gates all other diagonals off)
+            pcap = bout_row - ih
+            mcap = parr == pcap
+            vH = jnp.sum(jnp.where(mcap, Hn, 0), axis=1, keepdims=True)
+            vF = jnp.sum(jnp.where(mcap, Fn, 0), axis=1, keepdims=True)
+            Wbo = bout_ref.shape[2]
+            xarr = jax.lax.broadcasted_iota(jnp.int32, (B, Wbo), 1)
+            hitx = xarr == (k - 2 * bout_row)
+            bout_ref[0] = jnp.where(
+                hitx, jnp.broadcast_to(vH, (B, Wbo)), bout_ref[0]
+            )
+            bout_ref[1] = jnp.where(
+                hitx, jnp.broadcast_to(vF, (B, Wbo)), bout_ref[1]
+            )
 
         if emode:
             # anchored-extension argmax: per band slot, strict > keeps the
@@ -346,8 +430,38 @@ def _band_kernel(
             upd = Hn > BV
             BV = jnp.where(upd, Hn, BV)
             BK = jnp.where(upd, jnp.int32(k), BK)
-        else:
-            fin = (k == (qlenv + tlenv)) & (ivec == qlenv) & live
+            if tie_safe:
+                # canonical-tie soundness tracking (round 4): a co-optimal
+                # cell OUTSIDE the slot window can only be reached through
+                # a window-edge cell.  Accumulate, per edge slot, the
+                # crossing upper-bound term  val - smax*i  where val is
+                # the gap-state value at the edge (E at the deletion edge
+                # p=0, F at the insertion edge p=Wp-2): any outside path
+                # ending at row ri' scores <= val + smax*(ri' - i) + e.
+                # The caller escalates iff  max(EV) + smax*found_ri + e >=
+                # score  (BASELINE.md "Canonical-tie escalation").  The
+                # p=0 slot is only an exit edge once ihat > 0 (k > dhi):
+                # during the clamp phase it is row 0 of the matrix.
+                # Accumulates into score_ref, unused in emode.
+                iv_e = ih + parr
+                cand = jnp.where(
+                    (parr == 0) & (k > jnp.int32(dhi)),
+                    En,
+                    jnp.where(parr == Wp - 2, Fn, NEG),
+                )
+                score_ref[:] = jnp.maximum(
+                    score_ref[:], cand - jnp.int32(smax) * iv_e
+                )
+        elif want_score:
+            # the (B, Wp) read-modify-write capture runs only in ranges
+            # the caller marked capture-relevant (want_score): the fill
+            # driver statically skips it for every chunk before the first
+            # possible finish diagonal
+            if static_phase:
+                kfin = (k == (qlenv + tlenv)) & live  # (B, 1)
+                fin = (parr == (qlenv - ih)) & kfin
+            else:
+                fin = (k == (qlenv + tlenv)) & (ivec == qlenv) & live
             score_ref[:] = jnp.where(fin, Hn, score_ref[:])
 
         if want_ptr:
@@ -363,68 +477,82 @@ def _band_kernel(
             return (Hn, H1, En, Fn, *qws, TW, BV, BK)
         return (Hn, H1, En, Fn, *qws, TW)
 
-    # group-batched window top-ups (steady zone): instead of a per-step
+    # group-batched window top-ups (static phases): instead of a per-step
     # col() — aligned load + compare + cross-lane mask-reduce + broadcast
-    # (~8 ops per window per d1=1 step, x4 profile windows: THE dominant
-    # steady-substep cost) — each NSUB group loads ONE 2-lane-block
-    # superset per window, rotates it once so the group's first wanted
-    # column sits at the insert lane, and every substep takes a STATIC
-    # roll of that block (the per-u column advance a_u is a pure parity
+    # (~8 ops per window per insert step, x4 profile windows: THE dominant
+    # substep cost) — each NSUB group loads ONE (B, 2*LANES) aligned
+    # superset per window side, rotates it once (ONE dynamic roll per
+    # group) so the group's first wanted column sits at lane 0, and every
+    # substep extracts its (B, 1) insert column with a STATIC roll +
+    # aligned slice (the per-u column advance a_u is a pure parity
     # function, same derivation as the static ihat deltas).  Exact, not
-    # approximate: only lane Wp-1 (query) / lane 0 (target) of the block
-    # is ever selected.  Requires the insert lane to be a real lane index
-    # (Wp == LANES, the fused pass-2 geometry) and VMEM-resident letters.
-    fast_tops = steady and Wp == LANES and not stream
+    # approximate: only the extracted column is ever consumed.  Works for
+    # any Wp and in stream mode (round 4; the round-3 fast_tops needed
+    # Wp == LANES and resident letters).
     W2L = 2 * LANES
+
+    def _col0(blk, c):
+        # (B, 1) column c (static int, < LANES) of a group-rotated block
+        return _roll_norm(blk, -c)[:, 0:1]
 
     def group(gi, st):
         k0 = k_start + g * CK + gi * NSUB
         qblks = tblk = None
-        if fast_tops:
-            ih0 = ihat(k0)
+        if static_phase:
+            # clamp zone: ihat == 0 and the query window never advances
+            ih0 = 0 if phase == "clamp" else ihat(k0)
             # parity of the linear ihat argument (k0 - dhi + 1); g*CK and
             # gi*NSUB are even, so it is static
             x0p = (k_start - dhi + 1) % 2
-            cq = ih0 + Wp - 1 - qbase
-            cqb = pl.multiple_of((cq // LANES) * LANES, LANES)
-            qsh = (LANES - 1 - (cq - cqb)) % W2L  # wanted col -> lane 127
-            if profile:
-                qblks = [
-                    _roll_norm(qsrc[gi2, :, pl.ds(cqb, W2L)], qsh)
-                    for gi2 in range(G_PROF)
-                ]
-            else:
-                qblks = [_roll_norm(qsrc[:, pl.ds(cqb, W2L)], qsh)]
+            if phase == "steady":
+                cq = ih0 + Wp - 1 - qbase
+                cqb = pl.multiple_of((cq // LANES) * LANES, LANES)
+                qsh = (W2L - (cq - cqb)) % W2L  # first wanted col -> lane 0
+                if profile:
+                    qblks = [
+                        _roll_norm(qsrc[gi2, :, pl.ds(cqb, W2L)], qsh)
+                        for gi2 in range(G_PROF)
+                    ]
+                else:
+                    qblks = [_roll_norm(qsrc[:, pl.ds(cqb, W2L)], qsh)]
             ct = k0 - ih0 - tbase
             ctb = pl.multiple_of((ct // LANES) * LANES, LANES)
             tblk = _roll_norm(
                 tsrc[:, pl.ds(ctb, W2L)], (W2L - (ct - ctb)) % W2L
             )  # group's first wanted t column -> lane 0
+            bblks = None
+            if binject and phase == "clamp":
+                # boundary stream column k0 + u per substep: same group-
+                # rotated block mechanics as the letter top-ups
+                cbb = pl.multiple_of((k0 // LANES) * LANES, LANES)
+                bsh = (W2L - (k0 - cbb)) % W2L
+                bblks = (
+                    _roll_norm(bh_ref[:, pl.ds(cbb, W2L)], bsh),
+                    _roll_norm(bf_ref[:, pl.ds(cbb, W2L)], bsh),
+                )
         for u in range(NSUB):
-            if steady:
+            if phase == "steady":
                 # parity(k) == parity(k_start + u): g*CK and gi*NSUB are
                 # even (asserted in band_fill_range), so the ihat deltas
                 # are static per unrolled substep: d1 = 1 iff (k + dhi)
                 # odd, d2 = 1 (linear zone k >= dhi+1)
                 d1s = 1 if (k_start + u + dhi) % 2 == 1 else 0
-                tops = None
-                if fast_tops:
-                    a_u = (x0p + u) // 2  # ihat(k0+u) - ihat(k0), static
-                    if d1s == 1:
-                        tops = (
-                            [
-                                _roll_norm(b, (W2L - a_u) % W2L)[:, :Wp]
-                                for b in qblks
-                            ],
-                            None,
-                        )
-                    else:
-                        b_u = u - a_u  # t-column advance, static
-                        tops = (
-                            None,
-                            _roll_norm(tblk, (W2L - b_u) % W2L)[:, :Wp],
-                        )
+                a_u = (x0p + u) // 2  # ihat(k0+u) - ihat(k0), static
+                if d1s == 1:
+                    tops = ([_col0(b, a_u) for b in qblks], None)
+                else:
+                    tops = (None, _col0(tblk, u - a_u))
                 st = substep(k0 + u, st, (d1s, 1), tops=tops)
+            elif phase == "clamp":
+                # d1 = d2 = 0 throughout; target advances one column/step
+                binj = (
+                    (_col0(bblks[0], u), _col0(bblks[1], u))
+                    if binject
+                    else None
+                )
+                st = substep(
+                    k0 + u, st, (0, 0), tops=(None, _col0(tblk, u)), binj=binj
+                )
             else:
                 st = substep(k0 + u, st)
         return st
@@ -504,6 +632,12 @@ def build_packed_profile_np(qk: np.ndarray, table: np.ndarray) -> np.ndarray:
         "stream",
         "nsub",
         "steady",
+        "phase",
+        "want_score",
+        "tie_safe",
+        "smax",
+        "want_bout",
+        "bout_row",
     ),
 )
 def band_fill_range(
@@ -535,6 +669,14 @@ def band_fill_range(
     stream=False,
     nsub=None,
     steady=False,
+    phase=None,
+    want_score=True,
+    tie_safe=False,
+    smax=0,
+    bh=None,
+    bf=None,
+    want_bout=False,
+    bout_row=0,
 ):
     """Fill anti-diagonals [k_start, k_end) resuming from state_in.
 
@@ -543,9 +685,28 @@ def band_fill_range(
       state_out: (N_STATE, B, Wp) state after diagonal k_end-1;
       ckpts: (NC, N_STATE, B, Wp) state entering each CK-chunk;
       ptrs: (NCHUNK*CK, B, Wp) i8 packed pointers (dummy if !want_ptr).
+    With ``want_bout`` a FIFTH element is returned: (2, B, Wbo) — the
+    (H, F) boundary capture of local row ``bout_row`` (banded-SP).
+
+    ``bh``/``bf``: optional (B, Wb) boundary-row streams — when given,
+    local row 0 (cells (0, k), slot 0 while k <= dhi) is OVERWRITTEN with
+    bh[:, k]/bf[:, k]: the banded-SP block-resume protocol
+    (parallel/banded_sp.py).  Wb must cover k in [0, dhi] plus a 2*LANES
+    aligned-block slack.
+
+    ``phase``: "dyn" (default; per-step traced ihat deltas), "clamp"
+    (every executed diagonal <= dhi: d1 = d2 = 0, all rolls static), or
+    "steady" (every diagonal >= dhi+1: parity-static deltas).  ``steady=
+    True`` is the legacy alias for phase="steady".  ``want_score=False``
+    statically skips the per-substep final-score capture (callers use it
+    for every range that cannot contain a finish diagonal).
     """
     B = qk.shape[1] if profile else qk.shape[0]
     NS = n_band_state(profile, emode)
+    if phase is None:
+        phase = "steady" if steady else "dyn"
+    if phase not in ("dyn", "clamp", "steady"):
+        raise ValueError(f"unknown phase {phase!r}")
 
     # substeps unrolled per fori iteration.  `nsub` is a jit static arg —
     # callers resolve any env override (SEQALIB_BAND_NSUB) at the host
@@ -555,14 +716,25 @@ def band_fill_range(
     NSUB = nsub if nsub is not None else 4
     if CK % NSUB != 0:
         raise ValueError(f"nsub={NSUB} must divide CK={CK}")
-    if steady:
+    span = _ceil_to(k_end - k_start, max(CK, NSUB))
+    if phase == "steady":
         # the static-roll specialization needs (a) parity(k) derivable
         # from k_start + u alone and (b) every k in the linear ihat zone
         if NSUB % 2 or CK % 2:
             raise ValueError(f"steady requires even NSUB/CK, got {NSUB}/{CK}")
         if k_start < dhi + 1:
             raise ValueError(f"steady requires k_start >= dhi+1, got {k_start}")
-    span = _ceil_to(k_end - k_start, max(CK, NSUB))
+    if phase == "clamp" and k_start + span - 1 > dhi:
+        # the grid runs to the padded span; every executed k must sit in
+        # the clamp zone (ihat == 0)
+        raise ValueError(
+            f"clamp requires k_start+span-1 <= dhi, got {k_start + span - 1} > {dhi}"
+        )
+    if phase != "dyn" and NSUB > LANES:
+        # group top-up blocks are (B, 2*LANES); the unrotated column
+        # offset (< LANES) plus the per-substep advance (<= NSUB) must
+        # stay inside the block
+        raise ValueError(f"static phases require nsub <= {LANES}, got {NSUB}")
     NCHUNK = span // CK
     grid = (NCHUNK,)
 
@@ -592,7 +764,13 @@ def band_fill_range(
         profile=profile,
         emode=emode,
         stream=stream,
-        steady=steady,
+        phase=phase,
+        want_score=want_score,
+        tie_safe=tie_safe,
+        smax=smax,
+        binject=bh is not None,
+        want_bout=want_bout,
+        bout_row=bout_row,
         WQW=WQW,
         WTW=WTW,
     )
@@ -618,6 +796,11 @@ def band_fill_range(
             else cspec((1, B, Wp))
         ),
     ]
+    if want_bout:
+        # (H, F) boundary capture of local row bout_row (banded-SP)
+        Wbo = _ceil_to(dhi - dlo + 1, LANES)
+        out_shapes.append(jax.ShapeDtypeStruct((2, B, Wbo), jnp.int32))
+        out_specs.append(cspec((2, B, Wbo)))
 
     scratch = [pltpu.VMEM((B, Wp), jnp.int32) for _ in range(NS)]
     if stream:
@@ -633,24 +816,31 @@ def band_fill_range(
         in_specs = [letter_spec, letter_spec]
     else:
         in_specs = [cspec(qk.shape), cspec(tk.shape)]
-    score, state_out, ckpts, ptrs = pl.pallas_call(
+    in_specs = in_specs + [
+        cspec((B, LANES)),
+        cspec((B, LANES)),
+        cspec((B, LANES)),
+        cspec((B, LANES)),
+        cspec((NS, B, Wp)),
+    ]
+    args = [qk, tk, qlenc, tlenc, dloc, dhic, state_in]
+    if bh is not None:
+        in_specs += [cspec(bh.shape), cspec(bf.shape)]
+        args += [bh, bf]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=in_specs
-        + [
-            cspec((B, LANES)),
-            cspec((B, LANES)),
-            cspec((B, LANES)),
-            cspec((B, LANES)),
-            cspec((NS, B, Wp)),
-        ],
+        in_specs=in_specs,
         out_shape=out_shapes,
         out_specs=out_specs,
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-    )(qk, tk, qlenc, tlenc, dloc, dhic, state_in)
+    )(*args)
+    score, state_out, ckpts, ptrs = outs[:4]
     score = jnp.maximum(score, score_in)
+    if want_bout:
+        return score, state_out, ckpts, ptrs, outs[4]
     return score, state_out, ckpts, ptrs
 
 

@@ -136,6 +136,9 @@ def fused_pass2_knobs(interpret: bool) -> dict:
         # unrolling 32 substeps only bloats CPU-test trace time.
         nsub=int(nsub) if nsub is not None else (4 if interpret else 32),
         split=env.get("SEQALIB_FUSED_SPLIT", "1") == "1",
+        # opt-in sound canonical-tie closure (escalates aggressively on
+        # long genuine alignments by design — see _strip_local_fused)
+        tie_safe=env.get("SEQALIB_FUSED_TIE_SAFE", "0") == "1",
     )
 
 
@@ -1263,6 +1266,7 @@ def _reduce_best_jnp(bv, bk, stride):
         "bw",
         "nsub",
         "split",
+        "tie_safe",
     ),
 )
 def _strip_local_fused(
@@ -1289,6 +1293,7 @@ def _strip_local_fused(
     bw=64,
     nsub=None,
     split=None,
+    tie_safe=False,
 ):
     """Fused two-pass local coords, fully inside jit: the end-only local
     fill, the canonical-end reduce, the reversed-prefix gathers, and the
@@ -1322,6 +1327,17 @@ def _strip_local_fused(
     extension remains the definition, and `SEQALIB_FUSED_PASS2=strip`
     narrows the exposure to (b) only (its column window is the full
     target at lengths <= ~2*WR, e.g. the whole 1kb contract domain).
+
+    ``tie_safe=True`` (env SEQALIB_FUSED_TIE_SAFE=1) CLOSES exposure (a)
+    soundly: the banded pass-2 kernel tracks, per window-edge slot, the
+    crossing bound  max(E/F_edge - smax*i)  and the pair escalates to the
+    oracle-exact host rescan whenever  EV + smax*found_ri + e >= score —
+    every path to an outside co-optimal cell must cross an edge slot, and
+    its suffix gains at most smax per row plus one gap step, so no
+    outside tie survives the check (BASELINE.md "Canonical-tie
+    escalation" derives this and why it cannot be the default: the bound
+    is adversarial-proof, so its smax slope escalates most long genuine
+    alignments on random data — correctness mode, not headline mode).
     """
     if WR is None:
         # pure default only — env overrides resolve at the host boundary
@@ -1475,7 +1491,7 @@ def _strip_local_fused(
         else:
             prof_qr = None
 
-        def _p2_banded(qr_c, tr_c, qe_c, te2_c, prof_c):
+        def _p2_banded(qr_c, tr_c, qe_c, te2_c, prof_c, score_c):
             """Banded reverse-extension for one <=PC2-pair slice.
 
             band_fill_range holds its whole batch resident in VMEM (no
@@ -1544,6 +1560,10 @@ def _strip_local_fused(
                 profile=profile,
                 emode=True,
                 nsub=nsub_f,
+                tie_safe=tie_safe,
+                # packed tables are bounded by the nibble range; scalar
+                # scoring by the match profit (static, sound upper bounds)
+                smax=(15 - NIBBLE_BIAS) if profile else max(match, mismatch),
             )
             fillargs = (
                 qin_b,
@@ -1555,21 +1575,21 @@ def _strip_local_fused(
             )
             score_neg = jnp.full((Bc, Wpb), NEGj)
             if split_f:
-                _, st_mid, _, _ = band_fill_range(
+                ev_mid, st_mid, _, _ = band_fill_range(
                     *fillargs, state0b, score_neg, k_start=0, k_end=CKb,
                     **fillkw
                 )
-                _, st_out, _, _ = band_fill_range(
+                ev_out, st_out, _, _ = band_fill_range(
                     *fillargs,
                     st_mid,
-                    score_neg,
+                    ev_mid,  # threads the tie_safe EV accumulator
                     k_start=CKb,
                     k_end=Kp,
                     steady=True,
                     **fillkw,
                 )
             else:
-                _, st_out, _, _ = band_fill_range(
+                ev_out, st_out, _, _ = band_fill_range(
                     *fillargs, state0b, score_neg, k_start=0, k_end=Kp,
                     **fillkw
                 )
@@ -1587,6 +1607,21 @@ def _strip_local_fused(
             emptyb = score2_c <= 0
             ri_c = jnp.where(emptyb, 0, pb // (mq + 1))
             rj_c = jnp.where(emptyb, 0, pb % (mq + 1))
+            if tie_safe:
+                # sound canonical-tie check (docstring): escalate (via a
+                # forced score2 mismatch -> host rescan) when an outside
+                # co-optimal cell with a smaller packed index cannot be
+                # ruled out from the window-edge crossing bound
+                ev = jnp.max(ev_out, axis=1)
+                risk = (
+                    ev
+                    + jnp.int32(fillkw["smax"]) * ri_c
+                    + jnp.int32(gap_extend)
+                    >= score_c
+                )
+                score2_c = jnp.where(
+                    risk & (score2_c == score_c), score_c - 1, score2_c
+                )
             return score2_c, ri_c, rj_c
 
         PC2 = 128  # largest slice that fits scoped vmem with headroom
@@ -1608,13 +1643,14 @@ def _strip_local_fused(
                 _padrows(tr, SENT_T),
                 _padrows(qe, 0),
                 _padrows(te2, 0),
+                _padrows(score, 0),
             ) + ((_padrows(prof_qr, 0),) if profile else ())
             xs = jax.tree.map(
                 lambda x: x.reshape((Bp // PC2, PC2) + x.shape[1:]), xs
             )
             score2, ri, rj = jax.lax.map(
                 lambda a: _p2_banded(
-                    a[0], a[1], a[2], a[3], a[4] if profile else None
+                    a[0], a[1], a[2], a[3], a[5] if profile else None, a[4]
                 ),
                 xs,
             )
@@ -1622,7 +1658,7 @@ def _strip_local_fused(
             ri = ri.reshape(Bp)[:B]
             rj = rj.reshape(Bp)[:B]
         else:
-            score2, ri, rj = _p2_banded(qr, tr, qe, te2, prof_qr)
+            score2, ri, rj = _p2_banded(qr, tr, qe, te2, prof_qr, score)
     else:
         r2 = _strip_fill(
             qr,

@@ -1,0 +1,306 @@
+"""Banded sequence-parallel relay: one long pair's band split across the
+mesh as per-device row blocks (the north star's "one pair or band per
+core for long sequences" applied to the O(n·w) banded engine;
+BASELINE.json:5, SURVEY.md §2.3).
+
+Why a RELAY and not a latency-parallel pipeline — the critical-path math
+(committed here so the design is judged against physics, not hope):
+banded DP has a serial chain of K = n + m anti-diagonals; the parallel
+work per step is the band width w.  One v5e core's VPU already covers
+w <= ~4096 per vector op set, so splitting ONE pair's band across cores
+cannot shorten the wall below the K-step chain — device d's first row
+depends on device d-1's LAST row (the blocks chain strictly).  What the
+split DOES buy, and what this module implements:
+
+* **Memory scaling**: each device holds only its row block's O(w) state
+  and letter slice, not the whole pair — the single-device VMEM/HBM
+  ceilings (models/banded.py guard) stop binding sequence length.
+* **Cross-pair pipelining**: with G >= D pair-groups in flight the relay
+  is a classic pipeline — device d works on group s-d at super-step s —
+  sustaining D-fold throughput at a fill/drain cost of (D-1)/(G+D-1).
+
+Mechanics (TPU-idiomatic, all inside one jit):
+
+* Row blocks of R = ceil(n/D) query rows per device on mesh axis 'band'.
+* Each block is a self-contained banded fill (ops.banded_pallas, the
+  phase-split static-roll kernel) over LOCAL coordinates i'' = i - d*R,
+  j'' = j - d*R - dlo: the local band is [0, D_band-1] for every block,
+  so ONE kernel compile serves all devices and groups.
+* The incoming boundary (previous block's last row: H/F over the band's
+  w columns — the whole inter-device dependency, because E is
+  within-row) is INJECTED as local row 0 during the clamp zone
+  (band_fill_range(bh=, bf=)); the outgoing last row is captured by the
+  same kernel (want_bout) and shipped one neighbor hop with a single
+  lax.ppermute per super-step.
+* Scores: every device captures the (n, m) cell if its (possibly
+  overcomputed) rows reach it; jax.lax.pmax dedups.
+
+Score-only, scalar match/mismatch scoring (the long-read domain,
+matching models/banded.py's config-4 contract).  Letters are replicated
+to all devices in this v1 — production would shard them with R-row
+halos; the protocol is unchanged.  Oracle parity: tests/test_banded_sp.py
+(fake 8-device CPU mesh), wired into __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.banded_pallas import LANES, band_fill_range, n_band_state
+from ..types import NEG_INF, ScoringParams
+from ..models.banded import _phase_runs
+
+BAND_AXIS = "band"
+GB = 8  # pairs per relay group (the kernel's sublane-aligned batch floor)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _block_fill(qkb, tkb, qlen_l, tlen_l, dlo_l, dhi_l, bh, bf, *, geom):
+    """One device's row-block banded fill: boundary-injected resume +
+    boundary capture.  Returns (scores (GB,), bout (2, GB, Wbo))."""
+    g = geom
+    B = qkb.shape[0]
+    Wp = g["Wp"]
+    st = jnp.full((n_band_state(False), B, Wp), NEG_INF, jnp.int32)
+    st = st.at[4].set(qkb[:, :Wp])  # QW[p] = local letters
+    st = st.at[5].set(0)  # TW fills via per-step inserts
+    sc = jnp.full((B, Wp), NEG_INF, jnp.int32)
+    bout = None
+    for k0, k1, ph in g["runs"]:
+        want_bout = k1 > 2 * g["R"]
+        out = band_fill_range(
+            qkb,
+            tkb,
+            qlen_l,
+            tlen_l,
+            dlo_l,
+            dhi_l,
+            st,
+            sc,
+            k_start=k0,
+            k_end=k1,
+            K=g["Kloc"],
+            Wp=Wp,
+            dlo=0,
+            dhi=g["Dband"] - 1,
+            match=g["match"],
+            mismatch=g["mismatch"],
+            gap_open=g["o"],
+            gap_extend=g["e"],
+            want_ptr=False,
+            want_ckpt=False,
+            CK=g["CK"],
+            interpret=g["interpret"],
+            phase=ph,
+            want_score=True,
+            nsub=g["nsub"],
+            bh=bh,
+            bf=bf,
+            want_bout=want_bout,
+            bout_row=g["R"],
+        )
+        if want_bout:
+            sc, st, _, _, bo = out
+            bout = bo if bout is None else jnp.maximum(bout, bo)
+        else:
+            sc, st, _, _ = out
+    return jnp.max(sc, axis=1), bout
+
+
+def _relay_body(
+    qg, tg, qlen_g, tlen_g, dlo_pg, dhi_pg, *, geom, NG, D, axis=BAND_AXIS
+):
+    """Per-device shard_map body: scan over super-steps with one ppermute
+    per step; device d serves pair-group s - d at super-step s."""
+    g = geom
+    d = jax.lax.axis_index(axis)
+    R, Wb, Wbo = g["R"], g["Wb"], g["Wbo"]
+    o, e = g["o"], g["e"]
+    dlo_g = g["dlo_g"]
+    NEG = jnp.int32(NEG_INF)
+    xcols = jnp.arange(Wb, dtype=jnp.int32)[None, :]  # boundary column ids
+
+    def step(carry, s):
+        pkt, scores = carry
+        b = s - d
+        bc = jnp.clip(b, 0, NG - 1)
+        active = (b >= 0) & (b < NG)
+        qkb = jax.lax.dynamic_slice(
+            qg, (bc, 0, d * R), (1, GB, g["WQL"])
+        )[0]
+        tkb = jax.lax.dynamic_slice(
+            tg, (bc, 0, d * R), (1, GB, g["WTL"])
+        )[0]
+        n_b = jax.lax.dynamic_slice(qlen_g, (bc, 0), (1, GB))[0]
+        m_b = jax.lax.dynamic_slice(tlen_g, (bc, 0), (1, GB))[0]
+        dlo_b = jax.lax.dynamic_slice(dlo_pg, (bc, 0), (1, GB))[0]
+        dhi_b = jax.lax.dynamic_slice(dhi_pg, (bc, 0), (1, GB))[0]
+        qlen_l = n_b - d * R
+        tlen_l = m_b - d * R - dlo_g
+        dlo_l = dlo_b - dlo_g
+        dhi_l = dhi_b - dlo_g
+        # device 0's boundary = the global DP row 0 (gap chain), a pure
+        # function of the group's target lengths — no packet needed
+        jg = dlo_g + xcols  # global column of boundary index x
+        bh0 = jnp.where(
+            jg == 0,
+            0,
+            jnp.where((jg >= 1) & (jg <= m_b[:, None]), o + jg * e, NEG),
+        ).astype(jnp.int32)
+        bh = jnp.where(d == 0, bh0, pkt[0])
+        bf = jnp.where(d == 0, NEG, pkt[1])
+
+        def compute(_):
+            sc, bout = _block_fill(
+                qkb, tkb, qlen_l, tlen_l, dlo_l, dhi_l, bh, bf, geom=g
+            )
+            return sc, bout
+
+        def skip(_):
+            return (
+                jnp.full((GB,), NEG),
+                jnp.full((2, GB, Wbo), NEG),
+            )
+
+        sc_b, bout = jax.lax.cond(active, compute, skip, None)
+        # owner (and exact-overcompute) devices capture the same value;
+        # inactive contribute NEG — a max-merge dedups all of it
+        scores = scores.at[bc].max(jnp.where(active, sc_b, NEG))
+        pkt_out = jnp.pad(bout, ((0, 0), (0, 0), (0, Wb - Wbo)),
+                          constant_values=NEG_INF)
+        pkt_next = jax.lax.ppermute(
+            pkt_out, axis, [(i, (i + 1) % D) for i in range(D)]
+        )
+        return (pkt_next, scores), None
+
+    init = (
+        jnp.full((2, GB, Wb), NEG, jnp.int32),
+        jnp.full((NG, GB), NEG, jnp.int32),
+    )
+    (_, scores), _ = jax.lax.scan(
+        step, init, jnp.arange(NG + D - 1, dtype=jnp.int32)
+    )
+    return jax.lax.pmax(scores, axis)
+
+
+def make_band_mesh(devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (BAND_AXIS,))
+
+
+def banded_nw_affine_score_sp(
+    qs,
+    ts,
+    sp: ScoringParams,
+    band: int,
+    mesh: Mesh,
+    CK: int = 256,
+    nsub: int = 4,
+):
+    """Banded affine-gap global alignment SCOREs with the band split as
+    per-device row blocks over ``mesh``'s 'band' axis (module docstring).
+
+    qs/ts: one pair (1-D int codes) or a batch (B, L) / list of 1-D.
+    Exact banded-oracle parity (models/banded.py semantics): per-pair
+    band [min(0, delta) - band, max(0, delta) + band].  Returns an int
+    for a single pair, else a list of ints.
+    """
+    single = isinstance(qs, np.ndarray) and qs.ndim == 1 or (
+        not isinstance(qs, np.ndarray) and np.asarray(qs[0]).ndim == 0
+    )
+    if single:
+        qs, ts = [np.asarray(qs)], [np.asarray(ts)]
+    qs = [np.asarray(q, np.int32) for q in qs]
+    ts = [np.asarray(t, np.int32) for t in ts]
+    B0 = len(qs)
+    qlen = np.array([len(q) for q in qs], np.int64)
+    tlen = np.array([len(t) for t in ts], np.int64)
+    deltas = tlen - qlen
+    dlo_p = (np.minimum(0, deltas) - band).astype(np.int64)
+    dhi_p = (np.maximum(0, deltas) + band).astype(np.int64)
+    dlo_g, dhi_g = int(dlo_p.min()), int(dhi_p.max())
+    Dband = dhi_g - dlo_g + 1
+    n = int(qlen.max())
+    D = mesh.shape[BAND_AXIS]
+    R = max(1, _ceil_to(n, D) // D)
+    Kloc = 2 * R + Dband
+    Kp = _ceil_to(Kloc, CK)
+    Wp = _ceil_to(Dband // 2 + 2, LANES)
+    Wbo = _ceil_to(Dband, LANES)
+    Wb = Wbo + 2 * LANES  # aligned-block slack for the injection stream
+    WQL = _ceil_to(R + Dband // 2 + Wp + 2, LANES) + 2 * LANES
+    WTL = _ceil_to(Kp + 2, LANES) + 2 * LANES
+    m_max = int(tlen.max())
+
+    NG = _ceil_to(B0, GB) // GB
+    Bp = NG * GB
+    q_sent, t_sent = 4, 5
+    # replicated padded letters; blocks slice at d*R (see module docstring
+    # for the halo-sharded production layout)
+    qg = np.full((NG, GB, (D - 1) * R + WQL), q_sent, np.int32)
+    tg = np.full((NG, GB, (D - 1) * R + WTL), t_sent, np.int32)
+    qlen_g = np.zeros((NG, GB), np.int32)
+    tlen_g = np.zeros((NG, GB), np.int32)
+    dlo_pg = np.zeros((NG, GB), np.int32)
+    dhi_pg = np.zeros((NG, GB), np.int32)
+    for i in range(B0):
+        gidx, gi = divmod(i, GB)
+        # qpad[z] = q[z-1] (1-based rows); block d reads [d*R, d*R + WQL)
+        qg[gidx, gi, 1 : 1 + len(qs[i])] = qs[i]
+        # tpad2[z] = t[z + dlo_g - 1] (pre-shifted so block d reads at
+        # d*R): z + dlo_g in [1, m]  ->  z in [1 - dlo_g, m - dlo_g]
+        z0 = 1 - dlo_g
+        tg[gidx, gi, z0 : z0 + len(ts[i])] = ts[i]
+        qlen_g[gidx, gi] = len(qs[i])
+        tlen_g[gidx, gi] = len(ts[i])
+        dlo_pg[gidx, gi] = dlo_p[i]
+        dhi_pg[gidx, gi] = dhi_p[i]
+
+    interpret = jax.devices()[0].platform != "tpu"
+    geom = dict(
+        R=R,
+        Dband=Dband,
+        Kloc=Kloc,
+        Wp=Wp,
+        Wb=Wb,
+        Wbo=Wbo,
+        WQL=WQL,
+        WTL=WTL,
+        dlo_g=dlo_g,
+        CK=CK,
+        nsub=nsub,
+        match=sp.match,
+        mismatch=sp.mismatch,
+        o=sp.gap_open,
+        e=sp.gap_extend,
+        interpret=interpret,
+        runs=_phase_runs(0, Kp, CK, Dband - 1),
+    )
+    body = functools.partial(_relay_body, geom=geom, NG=NG, D=D)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    scores = np.asarray(
+        jax.jit(fn)(
+            jnp.asarray(qg),
+            jnp.asarray(tg),
+            jnp.asarray(qlen_g),
+            jnp.asarray(tlen_g),
+            jnp.asarray(dlo_pg),
+            jnp.asarray(dhi_pg),
+        )
+    ).reshape(Bp)[:B0]
+    out = [int(s) for s in scores]
+    return out[0] if single else out

@@ -30,6 +30,11 @@ def pytest_configure(config):
         "tpu_smoke: curated on-chip regression subset (<=8 tests, <=3 min "
         "through the tunnel): SEQALIB_TEST_TPU=1 pytest -m tpu_smoke",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: contract-scale shapes (minutes on the CPU mesh); excluded "
+        "from the default suite — run with `pytest -m slow`",
+    )
 
 
 @pytest.fixture(autouse=True, scope="module")

@@ -101,3 +101,50 @@ def test_strip_engine_returns_canonical_tie(monkeypatch):
     out = _run(q, t, sp, "strip", monkeypatch)
     assert int(out["score"][0]) == 84
     assert (int(out["qs"][0]), int(out["ts"][0])) == (35, 0)
+
+
+@pytest.mark.parametrize("engine", ["banded", "strip"])
+def test_tie_safe_mode_closes_the_exposure(engine, monkeypatch):
+    """SEQALIB_FUSED_TIE_SAFE=1 (round 4, VERDICT round-3 item 8): the
+    banded engine tracks the window-edge crossing bound and escalates the
+    constructed tie to the oracle-exact host rescan; the strip engine is
+    already canonical here.  Both engines return the canonical start."""
+    q, t, sp = _tie_problem()
+    monkeypatch.setenv("SEQALIB_FUSED_TIE_SAFE", "1")
+    out = _run(q, t, sp, engine, monkeypatch)
+    assert int(out["score"][0]) == 84
+    assert (int(out["qe"][0]), int(out["te"][0])) == (49, 84)
+    assert (int(out["qs"][0]), int(out["ts"][0])) == (35, 0)
+
+
+def test_tie_safe_keeps_clean_pairs_exact(monkeypatch):
+    """tie_safe may escalate aggressively (that is its design) but the
+    escalated host rescan must keep results oracle-exact on ordinary
+    pairs: full-coords parity on a random BLOSUM62 batch."""
+    from seqalib_tpu.oracle import align_oracle
+    from seqalib_tpu.types import ScoringParams
+
+    rng = np.random.default_rng(7)
+    sp = ScoringParams.blosum62()
+    B, L = 8, 96
+    qs = rng.integers(0, 20, size=(B, L)).astype(np.int32)
+    ts = rng.integers(0, 20, size=(B, L)).astype(np.int32)
+    monkeypatch.setenv("SEQALIB_FUSED_TIE_SAFE", "1")
+    out = strip_bucket(
+        qs,
+        ts,
+        np.full(B, L),
+        np.full(B, L),
+        sentinel_table(sp),
+        mode="local",
+        gap_open=sp.gap_open,
+        gap_extend=sp.gap_extend,
+        affine=True,
+    )
+    for b in range(B):
+        o = align_oracle(qs[b], ts[b], sp, mode="local")
+        assert int(out["score"][b]) == o.score
+        assert (int(out["qs"][b]), int(out["ts"][b])) == (
+            o.query_start,
+            o.target_start,
+        ), b
