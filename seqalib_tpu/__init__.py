@@ -48,13 +48,19 @@ def align_all_vs_all(queries, references, **kw):
     return _ava(queries, references, **kw)
 
 
-def align_score_sp(query, target, scoring, mesh, **kw):
-    """Global affine score of ONE long pair computed cooperatively by every
+def align_score_sp(query, target, scoring, mesh, mode="global", **kw):
+    """Affine score of ONE long pair computed cooperatively by every
     device on ``mesh``'s 'band' axis (sequence parallelism — row-block x
-    column-tile pipeline with ppermute boundary streaming).  See
-    `seqalib_tpu.parallel.band_pipeline.nw_affine_score_sp`."""
-    from .parallel.band_pipeline import nw_affine_score_sp
+    column-tile pipeline with ppermute boundary streaming).  ``mode``:
+    "global" (NW) or "local" (SW).  See
+    `seqalib_tpu.parallel.band_pipeline.nw_affine_score_sp` /
+    `sw_affine_score_sp`."""
+    from .parallel.band_pipeline import nw_affine_score_sp, sw_affine_score_sp
 
+    if mode == "local":
+        return sw_affine_score_sp(query, target, scoring, mesh, **kw)
+    if mode != "global":
+        raise ValueError(f"mode must be 'global' or 'local', got {mode!r}")
     return nw_affine_score_sp(query, target, scoring, mesh, **kw)
 
 

@@ -54,7 +54,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
-               match, mismatch, o, e, table=None, want_ptr=False):
+               match, mismatch, o, e, table=None, want_ptr=False,
+               local=False):
     """One R x C tile of the Gotoh fill.
 
     qb: (R,) block query letters.  t: full padded target (replicated).
@@ -97,6 +98,11 @@ def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
         E_new = jnp.maximum(left_E + e, left_H + o + e)
         F_new = jnp.maximum(up_F + e, up_H + o + e)
         H_new = jnp.maximum(diag_H + s_vec, jnp.maximum(E_new, F_new))
+        if local:
+            # Smith-Waterman: clamp at 0.  Padded cells (i > n or j > m)
+            # only feed cells further down/right, never valid ones, so
+            # the in-matrix mask on the capture below suffices.
+            H_new = jnp.maximum(H_new, 0)
 
         at_cC = c == C
         Hcol_n = jnp.where(at_cC, H_new, Hcol_n)
@@ -105,7 +111,11 @@ def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
         # own-column guard: lanes keep running past the tile edge (c > C,
         # with clamped top-boundary reads), so only the tile that owns
         # column m may capture cell (n, m)
-        hit = (ivec == n) & (jvec == m) & (c >= 1) & (c <= C)
+        if local:
+            # local capture: the running max over every VALID cell
+            hit = (ivec <= n) & (jvec <= m) & (c >= 1) & (c <= C)
+        else:
+            hit = (ivec == n) & (jvec == m) & (c >= 1) & (c <= C)
         cap = jnp.maximum(cap, jnp.max(jnp.where(hit, H_new, NEG)))
         new_carry = (H_new, H1, E_new, F_new, W, Hcol_n, Ecol_n, cap)
         ys = (H_new[lane_last], F_new[lane_last])
@@ -147,7 +157,7 @@ def _tile_scan(qb, t, j0, H_top, F_top, Hcol0, Ecol0, cap0, *, C, i0, n, m,
 
 def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
                    mismatch, o, e, backend="xla", interpret=True,
-                   sp_sub=None, axis=BAND_AXIS, want_tb=False):
+                   sp_sub=None, axis=BAND_AXIS, want_tb=False, local=False):
     """Per-device shard_map body: scan over pipeline steps with ppermute.
 
     With want_tb, additionally returns the per-tile DP boundary state the
@@ -210,13 +220,21 @@ def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
             )
 
     def init_top(j0):
-        # DP row 0: H(0, j) = o + j*e (H(0,0) = 0); F(0, j) = -inf
+        # DP row 0: global H(0, j) = o + j*e (H(0,0) = 0); local H(0, j)
+        # = 0 (SW).  F(0, j) = -inf either way.
         jcols = j0 + col0
-        H_top = jnp.where(jcols == 0, 0, o + jcols * e)
+        if local:
+            H_top = jnp.zeros((C + 1,), jnp.int32)
+        else:
+            H_top = jnp.where(jcols == 0, 0, o + jcols * e)
         return H_top, jnp.full((C,), NEG, jnp.int32)
 
-    # left boundary column 0: H(i, 0) = o + i*e, E(i, 0) = -inf
-    Hcol_init = (o + (i0 + jnp.arange(R) + 1) * e).astype(jnp.int32)
+    # left boundary column 0: global H(i, 0) = o + i*e, local 0;
+    # E(i, 0) = -inf
+    if local:
+        Hcol_init = jnp.zeros((R,), jnp.int32)
+    else:
+        Hcol_init = (o + (i0 + jnp.arange(R) + 1) * e).astype(jnp.int32)
     Ecol_init = jnp.full((R,), NEG, jnp.int32)
 
     def step(carry, s):
@@ -234,7 +252,7 @@ def _pipeline_body(q, t, table=None, *, n, m, R, C, D, n_tiles, match,
             return _tile_scan(
                 qb, t, j0, H_top, F_top, Hcol, Ecol, cap,
                 C=C, i0=i0, n=n, m=m, match=match, mismatch=mismatch, o=o, e=e,
-                table=table,
+                table=table, local=local,
             )
 
         def skip(_):
@@ -280,7 +298,7 @@ def make_band_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (BAND_AXIS,))
 
 
-def _sp_fill(q, t, sp, mesh: Mesh, C, backend, sp_sub, want_tb):
+def _sp_fill(q, t, sp, mesh: Mesh, C, backend, sp_sub, want_tb, local=False):
     """Shared SP pipeline fill.  Returns (score, geom) or, with want_tb,
     (score, geom, tops (D, steps, 2C+1), hcols (D, steps, R),
     ecols (D, steps, R)) — the per-(device, step) boundary checkpoints."""
@@ -294,11 +312,16 @@ def _sp_fill(q, t, sp, mesh: Mesh, C, backend, sp_sub, want_tb):
                 f"table ([{-NIBBLE_BIAS}, {15 - NIBBLE_BIAS}]); use "
                 "backend='xla' for wider tables"
             )
-    if want_tb and backend != "xla":
+    if local and backend != "xla":
         raise NotImplementedError(
-            "SP traceback pointer tiles exist on the xla body only; the "
-            "Pallas tile body is score-only"
+            "SP local (SW) mode runs on the xla tile body; the Pallas "
+            "tile is global-mode (long-read domain)"
         )
+    # want_tb works on EITHER tile body: the checkpoints the traceback
+    # recomputes from (resolved top packets + entering left columns) are
+    # step-level values, not tile internals (round 4; the pointer-tile
+    # recompute itself stays on the xla body — it touches only the
+    # ~(n+m)/min(R,C) visited tiles)
     import jax as _jax
 
     q = np.asarray(q)
@@ -332,6 +355,7 @@ def _sp_fill(q, t, sp, mesh: Mesh, C, backend, sp_sub, want_tb):
         interpret=_jax.devices()[0].platform != "tpu",
         sp_sub=sp_sub,
         want_tb=want_tb,
+        local=local,
     )
     in_specs = (P(None), P(None))
     args = [jnp.asarray(q_pad), jnp.asarray(t_pad)]
@@ -393,6 +417,22 @@ def nw_affine_score_sp(
     return score
 
 
+def sw_affine_score_sp(
+    q, t, sp, mesh: Mesh, C: int = 128, sp_sub: int = None
+) -> int:
+    """LOCAL (Smith-Waterman) affine-gap alignment SCORE of one long pair
+    over ``mesh``'s 'band' axis (VERDICT.md round-3 item 9: the SP path's
+    SW mode).  Exact max-over-all-cells Gotoh-SW score, identical to
+    oracle.sw_affine; xla tile body (the Pallas tile stays global-mode)."""
+    n, m = len(np.asarray(q)), len(np.asarray(t))
+    if n == 0 or m == 0:
+        return 0
+    score, _ = _sp_fill(
+        q, t, sp, mesh, C, "xla", sp_sub, want_tb=False, local=True
+    )
+    return max(0, score)
+
+
 _PTR_TILE_CACHE: dict = {}
 
 
@@ -446,7 +486,8 @@ def _rescore_global_affine(q, t, ops, sp) -> int:
     return s
 
 
-def nw_affine_align_sp(q, t, sp, mesh: Mesh, C: int = 128):
+def nw_affine_align_sp(q, t, sp, mesh: Mesh, C: int = 128, backend=None,
+                       sp_sub=None):
     """Global affine alignment of one long pair over the mesh — score AND
     CIGAR (VERDICT.md round-2 item 10: the SP path's output beyond a
     score; north star 'one pair or band per core ... CIGAR tracebacks
@@ -475,8 +516,13 @@ def nw_affine_align_sp(q, t, sp, mesh: Mesh, C: int = 128):
             int(score), 0, n, 0, m,
             (f"{m}D" if m else "") if n == 0 else f"{n}I",
         )
+    if backend is None:
+        # the Pallas tile body serves the traceback FILL on TPU (round 4,
+        # VERDICT round-3 item 9/weak 6 — the checkpoints are step-level
+        # values, independent of the tile body); xla compiles anywhere
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     score, geom, tops, hcols, ecols = _sp_fill(
-        q, t, sp, mesh, C, "xla", None, want_tb=True
+        q, t, sp, mesh, C, backend, sp_sub, want_tb=True
     )
     R, D, n_tiles = geom["R"], geom["D"], geom["n_tiles"]
     q_pad, t_pad = geom["q_pad"], geom["t_pad"]
