@@ -359,22 +359,21 @@ def banded_align_batch(
     # block stays a modest HBM allocation (SB*CK*B*Wp int8).
     import os as _os
 
-    sb_bytes = int(_os.environ.get("SEQALIB_BANDED_SB_BYTES", str(64 * 1024**2)))
-    # the 16-super-chunk cap bounded the HOST pointer haul; the device
-    # walk never fetches the block, so only the HBM allocation (sb_bytes)
-    # and per-launch overhead matter — a larger SB cuts launch count
-    # (100kb = ~780 chunks; at SB=16 that was still ~50 fill launches)
+    # dev-walk default 192MB: the block is transient HBM never fetched, so
+    # a larger SB only cuts launch count; the host paths keep 64MB (the
+    # block IS the haul there)
+    sb_env = _os.environ.get("SEQALIB_BANDED_SB_BYTES")
+    sb_bytes = int(sb_env) if sb_env is not None else (
+        (192 if use_dev_walk else 64) * 1024**2
+    )
     sb_cap = 64 if use_dev_walk else 16
     SB = max(1, min(sb_cap, sb_bytes // max(1, CK * B * Wp)))
     NC_ALL = _ceil_to(K, CK) // CK  # total chunks (letter widths cover these)
-    while not done.all() and ci >= 0:
-        cg = (ci // SB) * SB  # super-block's first chunk
-        k0g = cg * CK
-        k1g = min(cg + SB, NC_ALL) * CK  # clamp: kernel loads past the
-        # padded diagonal range would run off the letter arrays
+
+    def _recompute_ptrs(cg, k1g):
         st_r = put(ckpts_h[cg])
         ptr_parts = []
-        for k0r, k1r, ph in _phase_runs(k0g, k1g, CK, dhi):
+        for k0r, k1r, ph in _phase_runs(cg * CK, k1g, CK, dhi):
             _, st_r, _, ptr_r = band_fill_range(
                 qin,
                 tk,
@@ -393,42 +392,63 @@ def banded_align_batch(
                 **kw,
             )
             ptr_parts.append(ptr_r)
-        ptrs = (
+        return (
             ptr_parts[0]
             if len(ptr_parts) == 1
             else jnp.concatenate(ptr_parts, axis=0)
         )
-        k0 = k0g
-        KW = k1g - k0g
-        if use_dev_walk:
-            # on-device walk: ptrs never leave the chip
-            from ..ops.banded_pallas import band_walk_range
 
-            ops_blk, iv2, jv2, st2, dn2 = band_walk_range(
+    if use_dev_walk:
+        # on-device walk, DEVICE-THREADED state (round 4, VERDICT round-3
+        # item 5): ptrs never leave the chip AND the walker state (i, j,
+        # state, done) now stays a device array across super-blocks, so
+        # the whole recompute+walk chain is queued without a host sync
+        # per block (16 blocks x ~3 tunnel round-trips used to dominate
+        # the traceback wall); the global walk visits every chunk, so the
+        # early-exit the host paths keep has nothing to save here.  The
+        # op blocks are fetched once, after every launch is queued.
+        from ..ops.banded_pallas import band_walk_range
+
+        iv = jnp.asarray(i, jnp.int32)
+        jv = jnp.asarray(j, jnp.int32)
+        stv = jnp.asarray(st, jnp.int32)
+        dnv = jnp.asarray(done, jnp.int32)
+        blk_devs = []
+        while ci >= 0:
+            cg = (ci // SB) * SB
+            k1g = min(cg + SB, NC_ALL) * CK
+            ptrs = _recompute_ptrs(cg, k1g)
+            KW = k1g - cg * CK
+            ops_blk, iv, jv, stv, dnv = band_walk_range(
                 ptrs[:KW],
-                jnp.asarray(i, jnp.int32),
-                jnp.asarray(j, jnp.int32),
-                jnp.asarray(st, jnp.int32),
-                jnp.asarray(done, jnp.int32),
-                k0,
+                iv,
+                jv,
+                stv,
+                dnv,
+                cg * CK,
                 KW=KW,
                 dhi=dhi,
                 Wp=Wp,
                 B=B,
                 interpret=interpret,
             )
-            i = np.asarray(iv2).astype(i.dtype)
-            j = np.asarray(jv2).astype(j.dtype)
-            st = np.asarray(st2).astype(np.int32)
-            done = np.asarray(dn2).astype(bool)
-            # column x <-> diagonal k0+x; walk order is k DESCENDING.
-            # cast on DEVICE before fetching: op codes fit int8 and the
-            # fetch rides the tunnel (4x fewer bytes)
-            ops8 = np.asarray(ops_blk.astype(jnp.int8)).view(np.uint8)
-            dev_blocks.append(ops8[:, :KW][:, ::-1])
+            # cast on DEVICE: op codes fit int8 and the fetch rides the
+            # tunnel (4x fewer bytes)
+            blk_devs.append((ops_blk.astype(jnp.int8), KW))
             ci = cg - 1
-            continue
-        P = np.asarray(ptrs)  # (k1g - k0g, B, Wp)
+        for ops_blk, KW in blk_devs:
+            # column x <-> diagonal k0+x; walk order is k DESCENDING
+            ops8 = np.asarray(ops_blk).view(np.uint8)
+            dev_blocks.append(ops8[:, :KW][:, ::-1])
+
+    while not use_dev_walk and not done.all() and ci >= 0:
+        cg = (ci // SB) * SB  # super-block's first chunk
+        k0 = cg * CK
+        k1g = min(cg + SB, NC_ALL) * CK  # clamp: kernel loads past the
+        # padded diagonal range would run off the letter arrays
+        ptrs = _recompute_ptrs(cg, k1g)
+        KW = k1g - k0
+        P = np.asarray(ptrs)  # (k1g - k0, B, Wp)
         if nwalk is not None:
             nwalk.walk_block(P, k0, dhi)
             done = nwalk.done.astype(bool)
