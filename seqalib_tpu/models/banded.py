@@ -268,8 +268,14 @@ def banded_align_batch(
         profile=profile,
         stream=stream,
         # resolved HERE (host boundary) so the env override is part of
-        # the jit cache key — band_fill_range no longer reads env itself
-        nsub=int(_os.environ.get("SEQALIB_BAND_NSUB", "4")),
+        # the jit cache key — band_fill_range no longer reads env itself.
+        # On-chip sweep (round 4, .claude/r4/band_profile3.log): the
+        # phase-split fill measures 54.7/55.8/50.6 GCUPS(n*w) at NSUB
+        # 8/32/64 — 32 ships; interpret mode keeps 4 (unroll = CPU-test
+        # trace time)
+        nsub=int(
+            _os.environ.get("SEQALIB_BAND_NSUB", "4" if interpret else "32")
+        ),
     )
 
     # ---- pass 1: fill with checkpoints (phase-split static rolls) -------
@@ -319,8 +325,14 @@ def banded_align_batch(
             for b in range(B)
         ]
 
-    ckpts_h = np.concatenate(
-        [np.asarray(p) for p in ckpt_parts], axis=0
+    # checkpoints stay ON DEVICE: at B=128 10kb they are ~93MB — a host
+    # round-trip through the tunnel used to cost more than every other
+    # traceback component combined (round 4); the super-block recompute
+    # only ever re-feeds them to device fills
+    ckpts_dev = (
+        ckpt_parts[0]
+        if len(ckpt_parts) == 1
+        else jnp.concatenate(ckpt_parts, axis=0)
     )  # (NC, N_STATE, B, Wp)
 
     # ---- pass 2: blockwise recompute + walk ------------------------------
@@ -371,7 +383,7 @@ def banded_align_batch(
     NC_ALL = _ceil_to(K, CK) // CK  # total chunks (letter widths cover these)
 
     def _recompute_ptrs(cg, k1g):
-        st_r = put(ckpts_h[cg])
+        st_r = ckpts_dev[cg]
         ptr_parts = []
         for k0r, k1r, ph in _phase_runs(cg * CK, k1g, CK, dhi):
             _, st_r, _, ptr_r = band_fill_range(

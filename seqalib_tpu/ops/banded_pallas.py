@@ -781,14 +781,23 @@ def band_fill_range(
     out_shapes = [
         jax.ShapeDtypeStruct((B, Wp), jnp.int32),
         jax.ShapeDtypeStruct((NS, B, Wp), jnp.int32),
-        jax.ShapeDtypeStruct((NCHUNK, NS, B, Wp), jnp.int32),
+        # the checkpoint output shrinks to one dummy block when unused
+        # (a fill-only 10kb B=128 call otherwise allocates ~93MB of HBM
+        # it never reads)
+        jax.ShapeDtypeStruct(
+            (NCHUNK if want_ckpt else 1, NS, B, Wp), jnp.int32
+        ),
         jax.ShapeDtypeStruct((NCHUNK * CK if want_ptr else 1, B, Wp), jnp.int8),
     ]
     out_specs = [
         cspec((B, Wp)),
         cspec((NS, B, Wp)),
-        pl.BlockSpec(
-            (1, NS, B, Wp), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+        (
+            pl.BlockSpec(
+                (1, NS, B, Wp), lambda g: (g, 0, 0, 0), memory_space=pltpu.VMEM
+            )
+            if want_ckpt
+            else cspec((1, NS, B, Wp))
         ),
         (
             pl.BlockSpec((CK, B, Wp), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
