@@ -858,7 +858,7 @@ def band_fill_range(
     static_argnames=("KW", "dhi", "Wp", "B", "interpret"),
 )
 def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
-                    interpret):
+                    interpret, i_floor=-1):
     """On-device banded traceback walk over one recomputed pointer
     super-block (the device twin of native walker sq_walk_banded,
     bit-identical semantics incl. slot clamping and STOP handling).
