@@ -75,6 +75,16 @@ def align_score_banded_sp(queries, targets, scoring, band, mesh, **kw):
     return banded_nw_affine_score_sp(queries, targets, scoring, band, mesh, **kw)
 
 
+def align_banded_sp(query, target, scoring, band, mesh, **kw):
+    """Banded affine global alignment (score + full CIGAR) of ONE long
+    pair with its band relayed as per-device row blocks over ``mesh``'s
+    'band' axis; rescore-verified traceback.  See
+    `seqalib_tpu.parallel.banded_sp.banded_nw_affine_align_sp`."""
+    from .parallel.banded_sp import banded_nw_affine_align_sp
+
+    return banded_nw_affine_align_sp(query, target, scoring, band, mesh, **kw)
+
+
 def align_sp(query, target, scoring, mesh, **kw):
     """Global affine alignment (score + full CIGAR) of ONE long pair over
     ``mesh``'s 'band' axis: SP pipeline fill with boundary checkpointing,

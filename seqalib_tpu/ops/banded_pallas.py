@@ -875,6 +875,11 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
     output, never fetched).  iv/jv/stv/donev: (B,) int32 walker state.
     Returns (ops (B, KWp) int32 — column x holds the op consumed AT
     diagonal k0+x, 255 = none; iv', jv', stv', donev').
+
+    ``i_floor`` (runtime scalar): rows <= i_floor are a resume BOUNDARY
+    whose pointer bytes must never be consumed — the walker marks itself
+    done upon reaching them (banded-SP block handoff: local row 0 is the
+    previous block's injected last row).  -1 (default) never triggers.
     """
     from ..utils.cigar import OP_D, OP_I, OP_M
 
@@ -910,6 +915,9 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
         j = s_j[:]
         st = s_st[:]
         done = s_dn[:]
+        # boundary floor: a walker standing on (or below) row i_floor has
+        # left this block's computed rows — stop BEFORE reading the byte
+        done = jnp.where(i <= k0_ref[1], 1, done)
         kcur = i + j
         act_blk = (done == 0) & (kcur == k)
         num = k - dhi + 1
@@ -995,5 +1003,5 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
-    )(jnp.full((1,), k0, jnp.int32), ptrs, st_in)
+    )(jnp.asarray([k0, i_floor], jnp.int32), ptrs, st_in)
     return ops, st_out[0, :, 0], st_out[1, :, 0], st_out[2, :, 0], st_out[3, :, 0]

@@ -35,11 +35,15 @@ Mechanics (TPU-idiomatic, all inside one jit):
 * Scores: every device captures the (n, m) cell if its (possibly
   overcomputed) rows reach it; jax.lax.pmax dedups.
 
-Score-only, scalar match/mismatch scoring (the long-read domain,
-matching models/banded.py's config-4 contract).  Letters are replicated
-to all devices in this v1 — production would shard them with R-row
-halos; the protocol is unchanged.  Oracle parity: tests/test_banded_sp.py
-(fake 8-device CPU mesh), wired into __graft_entry__.dryrun_multichip.
+Scalar match/mismatch scoring (the long-read domain, matching
+models/banded.py's config-4 contract).  Outputs: batched scores
+(`banded_nw_affine_score_sp`) or score + full CIGAR for one pair
+(`banded_nw_affine_align_sp`: per-block checkpointed recompute + the
+on-device walk with an i_floor block-handoff, rescore-verified).
+Letters are replicated to all devices in this v1 — production would
+shard them with R-row halos; the protocol is unchanged.  Oracle parity:
+tests/test_banded_sp.py (fake 8-device CPU mesh, str-level for CIGARs),
+wired into __graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
@@ -116,10 +120,16 @@ def _block_fill(qkb, tkb, qlen_l, tlen_l, dlo_l, dhi_l, bh, bf, *, geom):
 
 
 def _relay_body(
-    qg, tg, qlen_g, tlen_g, dlo_pg, dhi_pg, *, geom, NG, D, axis=BAND_AXIS
+    qg, tg, qlen_g, tlen_g, dlo_pg, dhi_pg, *, geom, NG, D, axis=BAND_AXIS,
+    want_tb=False,
 ):
     """Per-device shard_map body: scan over super-steps with one ppermute
-    per step; device d serves pair-group s - d at super-step s."""
+    per step; device d serves pair-group s - d at super-step s.
+
+    With want_tb additionally returns the (resolved) boundary rows each
+    step CONSUMED — (steps, 2, GB, Wb) per device — the checkpoints the
+    traceback recomputes blocks from (device d's group-b boundary sits at
+    step index b + d)."""
     g = geom
     d = jax.lax.axis_index(axis)
     R, Wb, Wbo = g["R"], g["Wb"], g["Wbo"]
@@ -179,16 +189,20 @@ def _relay_body(
         pkt_next = jax.lax.ppermute(
             pkt_out, axis, [(i, (i + 1) % D) for i in range(D)]
         )
-        return (pkt_next, scores), None
+        ys = jnp.stack([bh, bf]) if want_tb else None
+        return (pkt_next, scores), ys
 
     init = (
         jnp.full((2, GB, Wb), NEG, jnp.int32),
         jnp.full((NG, GB), NEG, jnp.int32),
     )
-    (_, scores), _ = jax.lax.scan(
+    (_, scores), ys = jax.lax.scan(
         step, init, jnp.arange(NG + D - 1, dtype=jnp.int32)
     )
-    return jax.lax.pmax(scores, axis)
+    scores = jax.lax.pmax(scores, axis)
+    if want_tb:
+        return scores, ys
+    return scores
 
 
 def make_band_mesh(devices=None) -> Mesh:
@@ -196,28 +210,9 @@ def make_band_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (BAND_AXIS,))
 
 
-def banded_nw_affine_score_sp(
-    qs,
-    ts,
-    sp: ScoringParams,
-    band: int,
-    mesh: Mesh,
-    CK: int = 256,
-    nsub: int = 4,
-):
-    """Banded affine-gap global alignment SCOREs with the band split as
-    per-device row blocks over ``mesh``'s 'band' axis (module docstring).
-
-    qs/ts: one pair (1-D int codes) or a batch (B, L) / list of 1-D.
-    Exact banded-oracle parity (models/banded.py semantics): per-pair
-    band [min(0, delta) - band, max(0, delta) + band].  Returns an int
-    for a single pair, else a list of ints.
-    """
-    single = isinstance(qs, np.ndarray) and qs.ndim == 1 or (
-        not isinstance(qs, np.ndarray) and np.asarray(qs[0]).ndim == 0
-    )
-    if single:
-        qs, ts = [np.asarray(qs)], [np.asarray(ts)]
+def _sp_setup(qs, ts, sp: ScoringParams, band: int, mesh: Mesh, CK, nsub):
+    """Shared host prep: geometry + padded/grouped arrays (see
+    banded_nw_affine_score_sp)."""
     qs = [np.asarray(q, np.int32) for q in qs]
     ts = [np.asarray(t, np.int32) for t in ts]
     B0 = len(qs)
@@ -269,6 +264,7 @@ def banded_nw_affine_score_sp(
         R=R,
         Dband=Dband,
         Kloc=Kloc,
+        Kp=Kp,
         Wp=Wp,
         Wb=Wb,
         Wbo=Wbo,
@@ -283,24 +279,223 @@ def banded_nw_affine_score_sp(
         e=sp.gap_extend,
         interpret=interpret,
         runs=_phase_runs(0, Kp, CK, Dband - 1),
+        D=D,
+        NG=NG,
+        B0=B0,
     )
-    body = functools.partial(_relay_body, geom=geom, NG=NG, D=D)
+    arrays = dict(
+        qg=qg, tg=tg, qlen_g=qlen_g, tlen_g=tlen_g, dlo_pg=dlo_pg,
+        dhi_pg=dhi_pg, qlen=qlen, tlen=tlen,
+    )
+    return geom, arrays
+
+
+def _sp_relay(geom, arrays, mesh, want_tb=False):
+    body = functools.partial(
+        _relay_body, geom=geom, NG=geom["NG"], D=geom["D"], want_tb=want_tb
+    )
+    out_specs = (P(), P(BAND_AXIS)) if want_tb else P()
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=P(),
+        out_specs=out_specs,
         check_vma=False,
     )
-    scores = np.asarray(
-        jax.jit(fn)(
-            jnp.asarray(qg),
-            jnp.asarray(tg),
-            jnp.asarray(qlen_g),
-            jnp.asarray(tlen_g),
-            jnp.asarray(dlo_pg),
-            jnp.asarray(dhi_pg),
-        )
-    ).reshape(Bp)[:B0]
+    out = jax.jit(fn)(
+        jnp.asarray(arrays["qg"]),
+        jnp.asarray(arrays["tg"]),
+        jnp.asarray(arrays["qlen_g"]),
+        jnp.asarray(arrays["tlen_g"]),
+        jnp.asarray(arrays["dlo_pg"]),
+        jnp.asarray(arrays["dhi_pg"]),
+    )
+    if want_tb:
+        scores, bnds = out
+        steps = geom["NG"] + geom["D"] - 1
+        # (D, steps, 2, GB, Wb) device-resident boundary checkpoints
+        return scores, bnds.reshape(geom["D"], steps, 2, GB, geom["Wb"])
+    return out
+
+
+def banded_nw_affine_score_sp(
+    qs,
+    ts,
+    sp: ScoringParams,
+    band: int,
+    mesh: Mesh,
+    CK: int = 256,
+    nsub: int = 4,
+):
+    """Banded affine-gap global alignment SCOREs with the band split as
+    per-device row blocks over ``mesh``'s 'band' axis (module docstring).
+
+    qs/ts: one pair (1-D int codes) or a batch (B, L) / list of 1-D.
+    Exact banded-oracle parity (models/banded.py semantics): per-pair
+    band [min(0, delta) - band, max(0, delta) + band].  Returns an int
+    for a single pair, else a list of ints.
+    """
+    single = isinstance(qs, np.ndarray) and qs.ndim == 1 or (
+        not isinstance(qs, np.ndarray) and np.asarray(qs[0]).ndim == 0
+    )
+    if single:
+        qs, ts = [np.asarray(qs)], [np.asarray(ts)]
+    geom, arrays = _sp_setup(qs, ts, sp, band, mesh, CK, nsub)
+    scores = np.asarray(_sp_relay(geom, arrays, mesh)).reshape(-1)[: geom["B0"]]
     out = [int(s) for s in scores]
     return out[0] if single else out
+
+
+def banded_nw_affine_align_sp(
+    q,
+    t,
+    sp: ScoringParams,
+    band: int,
+    mesh: Mesh,
+    CK: int = 256,
+    nsub: int = 4,
+):
+    """Banded affine global alignment of ONE long pair over the mesh —
+    score AND CIGAR (the item-4 stretch: the SP band path's output beyond
+    a score; north star "CIGAR tracebacks gathered via collectives").
+
+    Fill: the banded-SP relay, additionally keeping each block's CONSUMED
+    boundary rows (device-resident).  Traceback: the banded checkpointed
+    scheme applied per row block, owner block down to block 0 — each
+    block refills with want_ckpt from its boundary, recomputes pointer
+    super-blocks, and walks them ON DEVICE (band_walk_range with
+    i_floor=0: local row 0 is the injected boundary, whose pointer bytes
+    are junk — the walker stops there and hands off to the previous block
+    with a coordinate shift).  The result CIGAR is rescore-verified
+    against the relay score before returning.
+    """
+    from ..types import AlignResult
+    from ..utils.cigar import OP_D, OP_I, ops_to_cigar
+    from ..ops.banded_pallas import band_walk_range
+    from .band_pipeline import _rescore_global_affine
+
+    q = np.asarray(q, np.int32)
+    t = np.asarray(t, np.int32)
+    n, m = len(q), len(t)
+    if n == 0 or m == 0:
+        score = 0 if n == m else sp.gap_open + max(n, m) * sp.gap_extend
+        return AlignResult(
+            int(score), 0, n, 0, m,
+            (f"{m}D" if m else "") if n == 0 else f"{n}I",
+        )
+    geom, arrays = _sp_setup([q], [t], sp, band, mesh, CK, nsub)
+    scores, bnds = _sp_relay(geom, arrays, mesh, want_tb=True)
+    score = int(np.asarray(scores).reshape(-1)[0])
+
+    g = geom
+    R, Wp, Kp, dlo_g = g["R"], g["Wp"], g["Kp"], g["dlo_g"]
+    dhi_l = g["Dband"] - 1
+    NEGj = jnp.int32(NEG_INF)
+    fillkw = dict(
+        K=g["Kloc"],
+        Wp=Wp,
+        dlo=0,
+        dhi=dhi_l,
+        match=g["match"],
+        mismatch=g["mismatch"],
+        gap_open=g["o"],
+        gap_extend=g["e"],
+        CK=CK,
+        interpret=g["interpret"],
+        nsub=nsub,
+    )
+    qg, tg = arrays["qg"], arrays["tg"]
+    NC_ALL = Kp // CK
+    SB = max(1, min(64, (192 * 1024**2) // max(1, CK * GB * Wp)))
+    d_owner = (n - 1) // R
+    # walker state: slot 0 is the real pair; pad slots start done
+    iv = jnp.asarray([n - d_owner * R] + [0] * (GB - 1), jnp.int32)
+    jv = jnp.asarray(
+        [m - d_owner * R - dlo_g] + [0] * (GB - 1), jnp.int32
+    )
+    stv = jnp.zeros((GB,), jnp.int32)
+    dn0 = np.ones(GB, np.int32)
+    dn0[0] = 0
+    ops_blocks = []  # (device int8 ops block, KW), walk order
+    for d in range(d_owner, -1, -1):
+        qkb = jnp.asarray(qg[0, :, d * R : d * R + g["WQL"]])
+        tkb = jnp.asarray(tg[0, :, d * R : d * R + g["WTL"]])
+        lens = dict(
+            qlen=jnp.asarray(arrays["qlen_g"][0] - d * R, jnp.int32),
+            tlen=jnp.asarray(
+                arrays["tlen_g"][0] - d * R - dlo_g, jnp.int32
+            ),
+            dlo=jnp.asarray(arrays["dlo_pg"][0] - dlo_g, jnp.int32),
+            dhi=jnp.asarray(arrays["dhi_pg"][0] - dlo_g, jnp.int32),
+        )
+        bh, bf = bnds[d, d, 0], bnds[d, d, 1]
+        st0 = jnp.full((n_band_state(False), GB, Wp), NEG_INF, jnp.int32)
+        st0 = st0.at[4].set(qkb[:, :Wp]).at[5].set(0)
+        sc0 = jnp.full((GB, Wp), NEGj)
+        # block refill with per-CK checkpoints (device-resident)
+        st_r, ck_parts = st0, []
+        for k0r, k1r, ph in g["runs"]:
+            _, st_r, ck_r, _ = band_fill_range(
+                qkb, tkb, lens["qlen"], lens["tlen"], lens["dlo"],
+                lens["dhi"], st_r, sc0,
+                k_start=k0r, k_end=k1r, want_ptr=False, want_ckpt=True,
+                phase=ph, want_score=False, bh=bh, bf=bf, **fillkw,
+            )
+            ck_parts.append(ck_r)
+        ckpts = (
+            ck_parts[0] if len(ck_parts) == 1
+            else jnp.concatenate(ck_parts, axis=0)
+        )
+        dnv = jnp.asarray(dn0)
+        kcur0 = int(np.asarray(iv[0] + jv[0]))
+        ci = min(kcur0 // CK, NC_ALL - 1)
+        while ci >= 0:
+            cg = (ci // SB) * SB
+            k1g = min(cg + SB, NC_ALL) * CK
+            st_p, ptr_parts = ckpts[cg], []
+            for k0r, k1r, ph in _phase_runs(cg * CK, k1g, CK, dhi_l):
+                _, st_p, _, ptr_r = band_fill_range(
+                    qkb, tkb, lens["qlen"], lens["tlen"], lens["dlo"],
+                    lens["dhi"], st_p, sc0,
+                    k_start=k0r, k_end=k1r, want_ptr=True, want_ckpt=False,
+                    phase=ph, want_score=False, bh=bh, bf=bf, **fillkw,
+                )
+                ptr_parts.append(ptr_r)
+            ptrs = (
+                ptr_parts[0] if len(ptr_parts) == 1
+                else jnp.concatenate(ptr_parts, axis=0)
+            )
+            KW = k1g - cg * CK
+            ops_blk, iv, jv, stv, dnv = band_walk_range(
+                ptrs[:KW], iv, jv, stv, dnv, cg * CK,
+                KW=KW, dhi=dhi_l, Wp=Wp, B=GB, interpret=g["interpret"],
+                i_floor=0,
+            )
+            ops_blocks.append((ops_blk.astype(jnp.int8), KW))
+            ci = cg - 1
+        # handoff: local row 0 of block d = local row R of block d-1
+        il = int(np.asarray(iv[0]))
+        jl = int(np.asarray(jv[0]))
+        if il != 0:
+            raise RuntimeError(
+                f"SP block walk ended mid-block (d={d}, i_local={il})"
+            )
+        if d > 0:
+            iv = iv.at[0].add(R)
+            jv = jv.at[0].add(R)
+    # assemble: blocks are in walk order; columns descend within a block
+    ops = []
+    for ops_blk, KW in ops_blocks:
+        row = np.asarray(ops_blk).view(np.uint8)[0, :KW][::-1]
+        ops.extend(int(x) for x in row if x != 255)
+    ops.reverse()
+    # epilogue: the walker stops at global row 0 (the injected gap-chain
+    # boundary); any remaining columns are leading deletions.  Local
+    # j'' = j_global - dlo_g at block 0.
+    ops = [OP_D] * (jl + dlo_g) + ops
+    walked = _rescore_global_affine(q, t, ops, sp)
+    if walked != score:  # not an assert: must survive python -O
+        raise RuntimeError(
+            f"banded-SP traceback rescore {walked} != relay score {score}"
+        )
+    return AlignResult(int(score), 0, n, 0, m, ops_to_cigar(ops))

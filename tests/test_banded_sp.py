@@ -118,3 +118,43 @@ def test_banded_sp_100kb_w256(mesh):
         traceback=False,
     )[0]
     assert got == ref.score
+
+
+@pytest.mark.parametrize(
+    "n,m,band",
+    [
+        (257, 251, 16),  # blocks shorter than the band
+        (1000, 970, 24),  # R > Dband, uneven lengths
+        (512, 600, 32),  # asymmetric delta
+    ],
+)
+def test_banded_sp_align_cigar_parity(mesh, n, m, band):
+    """Full CIGAR from the banded-SP path (item-4 stretch): str-level
+    oracle parity — score, coords, and the exact canonical CIGAR."""
+    from seqalib_tpu.parallel.banded_sp import banded_nw_affine_align_sp
+
+    rng = np.random.default_rng(n * 13 + m)
+    q = rng.integers(0, 4, n).astype(np.int32)
+    t = rng.integers(0, 4, m).astype(np.int32)
+    got = banded_nw_affine_align_sp(q, t, SP, band, mesh, CK=64)
+    ref = nw_affine(q, t, SP, band=band)
+    assert str(got) == str(ref)
+
+
+def test_banded_sp_align_mutated_long(mesh):
+    """A realistic long-read shape: 3kb mutated copy, w=32."""
+    from seqalib_tpu.parallel.banded_sp import banded_nw_affine_align_sp
+
+    q, t = _mutated_pair(np.random.default_rng(11), 3000, rate=0.08)
+    got = banded_nw_affine_align_sp(q, t, SP, 32, mesh, CK=128)
+    ref = nw_affine(q, t, SP, band=32)
+    assert str(got) == str(ref)
+
+
+def test_banded_sp_align_empty(mesh):
+    from seqalib_tpu.parallel.banded_sp import banded_nw_affine_align_sp
+
+    got = banded_nw_affine_align_sp(
+        np.zeros(0, np.int32), np.arange(4, dtype=np.int32) % 4, SP, 8, mesh
+    )
+    assert (got.score, got.cigar) == (SP.gap_open + 4 * SP.gap_extend, "4D")
