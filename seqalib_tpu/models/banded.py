@@ -379,10 +379,12 @@ def banded_align_batch(
         (192 if use_dev_walk else 64) * 1024**2
     )
     sb_cap = 64 if use_dev_walk else 16
-    SB = max(1, min(sb_cap, sb_bytes // max(1, CK * B * Wp)))
+    # the dev path stores 2 diagonals/byte (pack_ptr), halving block bytes
+    blk_bytes = CK * B * Wp // (2 if use_dev_walk else 1)
+    SB = max(1, min(sb_cap, sb_bytes // max(1, blk_bytes)))
     NC_ALL = _ceil_to(K, CK) // CK  # total chunks (letter widths cover these)
 
-    def _recompute_ptrs(cg, k1g):
+    def _recompute_ptrs(cg, k1g, pack):
         st_r = ckpts_dev[cg]
         ptr_parts = []
         for k0r, k1r, ph in _phase_runs(cg * CK, k1g, CK, dhi):
@@ -401,6 +403,7 @@ def banded_align_batch(
                 want_ckpt=False,
                 phase=ph,
                 want_score=False,
+                pack_ptr=pack,
                 **kw,
             )
             ptr_parts.append(ptr_r)
@@ -429,10 +432,10 @@ def banded_align_batch(
         while ci >= 0:
             cg = (ci // SB) * SB
             k1g = min(cg + SB, NC_ALL) * CK
-            ptrs = _recompute_ptrs(cg, k1g)
+            ptrs = _recompute_ptrs(cg, k1g, pack=True)
             KW = k1g - cg * CK
             ops_blk, iv, jv, stv, dnv = band_walk_range(
-                ptrs[:KW],
+                ptrs[: KW // 2],
                 iv,
                 jv,
                 stv,
@@ -443,6 +446,7 @@ def banded_align_batch(
                 Wp=Wp,
                 B=B,
                 interpret=interpret,
+                packed=True,
             )
             # cast on DEVICE: op codes fit int8 and the fetch rides the
             # tunnel (4x fewer bytes)
@@ -458,7 +462,7 @@ def banded_align_batch(
         k0 = cg * CK
         k1g = min(cg + SB, NC_ALL) * CK  # clamp: kernel loads past the
         # padded diagonal range would run off the letter arrays
-        ptrs = _recompute_ptrs(cg, k1g)
+        ptrs = _recompute_ptrs(cg, k1g, pack=False)
         KW = k1g - k0
         P = np.asarray(ptrs)  # (k1g - k0, B, Wp)
         if nwalk is not None:

@@ -125,6 +125,7 @@ def _band_kernel(
     binject: bool,
     want_bout: bool,
     bout_row: int,
+    pack_ptr: bool,
     WQW: int,
     WTW: int,
 ):
@@ -230,6 +231,7 @@ def _band_kernel(
         return jnp.sum(jnp.where(lane128 == (xs - off), blk, 0), axis=1, keepdims=True)
 
     static_phase = phase in ("clamp", "steady")
+    pstash = []  # pack_ptr: pwords awaiting their pair (see `group`)
 
     def substep(k, st, dstat=None, tops=None, binj=None):
         H1, H2, E1, F1 = st[:4]
@@ -471,7 +473,14 @@ def _band_kernel(
                 + ext_e.astype(jnp.int32) * (1 << _EXT_E_BIT)
                 + ext_f.astype(jnp.int32) * (1 << _EXT_F_BIT)
             )
-            ptr_ref[k - k_start - g * CK, :, :] = pword.astype(jnp.int8)
+            if pack_ptr:
+                # 2 diagonals per byte: the pword is 4 bits; `group`
+                # pairs consecutive substeps and stores lo | hi<<4 —
+                # halving the ~1GB/batch of pointer HBM writes that
+                # dominate the traceback recompute (round 4)
+                pstash.append(pword)
+            else:
+                ptr_ref[k - k_start - g * CK, :, :] = pword.astype(jnp.int8)
 
         if emode:
             return (Hn, H1, En, Fn, *qws, TW, BV, BK)
@@ -555,6 +564,12 @@ def _band_kernel(
                 )
             else:
                 st = substep(k0 + u, st)
+            if want_ptr and pack_ptr and u % 2 == 1:
+                lo, hi = pstash
+                pstash.clear()
+                ptr_ref[(gi * NSUB + u) // 2, :, :] = (
+                    lo | (hi << 4)
+                ).astype(jnp.int8)
         return st
 
     st0 = tuple(state_scratch[a][:] for a in range(NS))
@@ -638,6 +653,7 @@ def build_packed_profile_np(qk: np.ndarray, table: np.ndarray) -> np.ndarray:
         "smax",
         "want_bout",
         "bout_row",
+        "pack_ptr",
     ),
 )
 def band_fill_range(
@@ -677,6 +693,7 @@ def band_fill_range(
     bf=None,
     want_bout=False,
     bout_row=0,
+    pack_ptr=False,
 ):
     """Fill anti-diagonals [k_start, k_end) resuming from state_in.
 
@@ -730,6 +747,11 @@ def band_fill_range(
         raise ValueError(
             f"clamp requires k_start+span-1 <= dhi, got {k_start + span - 1} > {dhi}"
         )
+    if want_ptr and pack_ptr and (NSUB % 2 or CK % 2):
+        raise ValueError(
+            f"pack_ptr pairs consecutive diagonals: even NSUB/CK required, "
+            f"got {NSUB}/{CK}"
+        )
     if phase != "dyn" and NSUB > LANES:
         # group top-up blocks are (B, 2*LANES); the unrotated column
         # offset (< LANES) plus the per-substep advance (<= NSUB) must
@@ -771,6 +793,7 @@ def band_fill_range(
         binject=bh is not None,
         want_bout=want_bout,
         bout_row=bout_row,
+        pack_ptr=pack_ptr,
         WQW=WQW,
         WTW=WTW,
     )
@@ -787,7 +810,10 @@ def band_fill_range(
         jax.ShapeDtypeStruct(
             (NCHUNK if want_ckpt else 1, NS, B, Wp), jnp.int32
         ),
-        jax.ShapeDtypeStruct((NCHUNK * CK if want_ptr else 1, B, Wp), jnp.int8),
+        jax.ShapeDtypeStruct(
+            (NCHUNK * CK // (2 if pack_ptr else 1) if want_ptr else 1, B, Wp),
+            jnp.int8,
+        ),
     ]
     out_specs = [
         cspec((B, Wp)),
@@ -800,7 +826,11 @@ def band_fill_range(
             else cspec((1, NS, B, Wp))
         ),
         (
-            pl.BlockSpec((CK, B, Wp), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (CK // (2 if pack_ptr else 1), B, Wp),
+                lambda g: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
             if want_ptr
             else cspec((1, B, Wp))
         ),
@@ -855,10 +885,10 @@ def band_fill_range(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("KW", "dhi", "Wp", "B", "interpret"),
+    static_argnames=("KW", "dhi", "Wp", "B", "interpret", "packed"),
 )
 def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
-                    interpret, i_floor=-1):
+                    interpret, i_floor=-1, packed=False):
     """On-device banded traceback walk over one recomputed pointer
     super-block (the device twin of native walker sq_walk_banded,
     bit-identical semantics incl. slot clamping and STOP handling).
@@ -875,6 +905,9 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
     output, never fetched).  iv/jv/stv/donev: (B,) int32 walker state.
     Returns (ops (B, KWp) int32 — column x holds the op consumed AT
     diagonal k0+x, 255 = none; iv', jv', stv', donev').
+
+    ``packed``: ptrs holds TWO diagonals per byte (band_fill_range
+    pack_ptr: row x//2, nibble x&1 for diagonal k0+x; k0 must be even).
 
     ``i_floor`` (runtime scalar): rows <= i_floor are a resume BOUNDARY
     whose pointer bytes must never be consumed — the walker marks itself
@@ -929,6 +962,10 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
             keepdims=True,
         )
         byte = jnp.broadcast_to(byte, (B, LANES))
+        if packed:
+            # nibble-select this diagonal's 4 bits (sign extension from
+            # the int8 load is masked off)
+            byte = (byte >> (4 * (kidx % 2))) & 0xF
         ph = byte & 3
         ee = (byte >> _EXT_E_BIT) & 1
         ef = (byte >> _EXT_F_BIT) & 1
@@ -978,7 +1015,10 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, B, Wp), lambda g: (KW - 1 - g, 0, 0),
+                (1, B, Wp),
+                (lambda g: ((KW - 1 - g) // 2, 0, 0))
+                if packed
+                else (lambda g: (KW - 1 - g, 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
