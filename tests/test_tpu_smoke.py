@@ -137,3 +137,24 @@ def test_smoke_banded_matrix_traceback(rng):
     for b in range(2):
         ref = nw_affine(q[b], t[b], BLOS, band=32)
         assert (res[b].score, res[b].cigar) == (ref.score, ref.cigar), b
+
+
+def test_banded_sp_relay_smoke():
+    """Banded-SP kernel features on real Mosaic: boundary-row injection
+    (binject), boundary capture (want_bout), and the i_floor walk handoff
+    — a 1-device 'band' mesh degenerates the relay to one block but still
+    compiles and runs every new kernel path on-chip.  str-level oracle
+    parity (score + CIGAR)."""
+    from seqalib_tpu.parallel.banded_sp import (
+        banded_nw_affine_align_sp,
+        make_band_mesh,
+    )
+
+    rng = np.random.default_rng(23)
+    q = rng.integers(0, 4, 300).astype(np.int32)
+    t = q.copy()
+    t[::13] = (t[::13] + 1) % 4
+    mesh = make_band_mesh()
+    got = banded_nw_affine_align_sp(q, t, DNA_AFF, 16, mesh, CK=64)
+    ref = nw_affine(q, t, DNA_AFF, band=16)
+    assert str(got) == str(ref)
