@@ -1431,7 +1431,10 @@ def _strip_local_fused(
 
         BW = bw
         Wpb = _ceil_to((2 * BW + 1) // 2 + 2, LANES)
-        CKb = 128
+        # CKb=64 gives the pass-2 fill a full clamp chunk (k <= BW=64):
+        # with the round-4 phase machinery the whole fill runs on static
+        # rolls except the one dyn transition chunk (_phase_runs)
+        CKb = 64
         Kp = _ceil_to(WR + min(TWD, WR + BW) + 1, CKb)
         # + 2*LANES: the steady kernel's group-batched top-ups load
         # 2-lane-block aligned supersets around ih0 + Wp - 1 (banded
@@ -1443,14 +1446,15 @@ def _strip_local_fused(
         # reach this body (they'd dodge the jit cache key — see
         # fused_pass2_knobs' docstring for the vacuous-test incident)
         nsub_f = nsub if nsub is not None else (4 if interpret else 32)
-        # split-steady: chunk 0 generic, the rest with static parity-
-        # derived roll shifts (half the rolls fold to no-ops).  Values
-        # are identical — k >= CKb=128 > BW+1 is in the linear ihat zone
-        # and the resume protocol carries BV/BK in the state.
+        # phase-split (round 4, generalizing round 3's split-steady):
+        # clamp chunk(s) + one dyn transition chunk + parity-static steady
+        # chunks — every roll shift is a compile-time constant outside the
+        # transition chunk.  Values are identical (the phase split is
+        # exact); the resume protocol carries BV/BK in the state.
         split_f = (
             (split if split is not None else True)
             and Kp > CKb
-            and CKb >= BW + 1
+            and CKb % nsub_f == 0
             and nsub_f % 2 == 0
         )
         if profile:
@@ -1575,19 +1579,15 @@ def _strip_local_fused(
             )
             score_neg = jnp.full((Bc, Wpb), NEGj)
             if split_f:
-                ev_mid, st_mid, _, _ = band_fill_range(
-                    *fillargs, state0b, score_neg, k_start=0, k_end=CKb,
-                    **fillkw
-                )
-                ev_out, st_out, _, _ = band_fill_range(
-                    *fillargs,
-                    st_mid,
-                    ev_mid,  # threads the tie_safe EV accumulator
-                    k_start=CKb,
-                    k_end=Kp,
-                    steady=True,
-                    **fillkw,
-                )
+                from ..models.banded import _phase_runs
+
+                ev_out, st_out = score_neg, state0b
+                for k0r, k1r, ph in _phase_runs(0, Kp, CKb, BW):
+                    # score_in threads the tie_safe EV accumulator
+                    ev_out, st_out, _, _ = band_fill_range(
+                        *fillargs, st_out, ev_out, k_start=k0r, k_end=k1r,
+                        phase=ph, **fillkw,
+                    )
             else:
                 ev_out, st_out, _, _ = band_fill_range(
                     *fillargs, state0b, score_neg, k_start=0, k_end=Kp,
