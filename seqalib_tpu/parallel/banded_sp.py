@@ -35,8 +35,9 @@ Mechanics (TPU-idiomatic, all inside one jit):
 * Scores: every device captures the (n, m) cell if its (possibly
   overcomputed) rows reach it; jax.lax.pmax dedups.
 
-Scalar match/mismatch scoring (the long-read domain, matching
-models/banded.py's config-4 contract).  Outputs: batched scores
+Scoring: scalar match/mismatch (the long-read domain) or a
+substitution matrix in the packed-nibble range (BLOSUM62 fits) via the
+kernel's packed-profile windows, matching models/banded.py.  Outputs: batched scores
 (`banded_nw_affine_score_sp`) or score + full CIGAR for one pair
 (`banded_nw_affine_align_sp`: per-block checkpointed recompute + the
 on-device walk with an i_floor block-handoff, rescore-verified).
@@ -67,15 +68,28 @@ def _ceil_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _init_block_state(qkb, geom):
+    """(NS, GB, Wp) resume state: NEG H/E/F, letter (or packed-profile)
+    windows preloaded, TW zeroed (fills via per-step inserts)."""
+    g = geom
+    profile = g["profile"]
+    B = qkb.shape[1] if profile else qkb.shape[0]
+    Wp = g["Wp"]
+    st = jnp.full((n_band_state(profile), B, Wp), NEG_INF, jnp.int32)
+    if profile:
+        st = st.at[4 : 4 + qkb.shape[0]].set(qkb[:, :, :Wp])
+    else:
+        st = st.at[4].set(qkb[:, :Wp])
+    return st.at[-1].set(0)
+
+
 def _block_fill(qkb, tkb, qlen_l, tlen_l, dlo_l, dhi_l, bh, bf, *, geom):
     """One device's row-block banded fill: boundary-injected resume +
     boundary capture.  Returns (scores (GB,), bout (2, GB, Wbo))."""
     g = geom
-    B = qkb.shape[0]
     Wp = g["Wp"]
-    st = jnp.full((n_band_state(False), B, Wp), NEG_INF, jnp.int32)
-    st = st.at[4].set(qkb[:, :Wp])  # QW[p] = local letters
-    st = st.at[5].set(0)  # TW fills via per-step inserts
+    B = qkb.shape[1] if g["profile"] else qkb.shape[0]
+    st = _init_block_state(qkb, g)
     sc = jnp.full((B, Wp), NEG_INF, jnp.int32)
     bout = None
     for k0, k1, ph in g["runs"]:
@@ -103,6 +117,7 @@ def _block_fill(qkb, tkb, qlen_l, tlen_l, dlo_l, dhi_l, bh, bf, *, geom):
             want_ckpt=False,
             CK=g["CK"],
             interpret=g["interpret"],
+            profile=g["profile"],
             phase=ph,
             want_score=True,
             nsub=g["nsub"],
@@ -120,8 +135,8 @@ def _block_fill(qkb, tkb, qlen_l, tlen_l, dlo_l, dhi_l, bh, bf, *, geom):
 
 
 def _relay_body(
-    qg, tg, qlen_g, tlen_g, dlo_pg, dhi_pg, *, geom, NG, D, axis=BAND_AXIS,
-    want_tb=False,
+    qg, tg, qlen_g, tlen_g, dlo_pg, dhi_pg, pgq=None, *, geom, NG, D,
+    axis=BAND_AXIS, want_tb=False,
 ):
     """Per-device shard_map body: scan over super-steps with one ppermute
     per step; device d serves pair-group s - d at super-step s.
@@ -143,9 +158,15 @@ def _relay_body(
         b = s - d
         bc = jnp.clip(b, 0, NG - 1)
         active = (b >= 0) & (b < NG)
-        qkb = jax.lax.dynamic_slice(
-            qg, (bc, 0, d * R), (1, GB, g["WQL"])
-        )[0]
+        if g["profile"]:
+            # packed-nibble profile words replace the query letters
+            qkb = jax.lax.dynamic_slice(
+                pgq, (bc, 0, 0, d * R), (1, pgq.shape[1], GB, g["WQL"])
+            )[0]
+        else:
+            qkb = jax.lax.dynamic_slice(
+                qg, (bc, 0, d * R), (1, GB, g["WQL"])
+            )[0]
         tkb = jax.lax.dynamic_slice(
             tg, (bc, 0, d * R), (1, GB, g["WTL"])
         )[0]
@@ -237,7 +258,24 @@ def _sp_setup(qs, ts, sp: ScoringParams, band: int, mesh: Mesh, CK, nsub):
 
     NG = _ceil_to(B0, GB) // GB
     Bp = NG * GB
-    q_sent, t_sent = 4, 5
+    profile = sp.matrix is not None
+    if profile:
+        from ..ops.banded_pallas import (
+            banded_matrix_supported,
+            build_packed_profile_np,
+        )
+
+        table = sp.substitution_matrix()
+        if not banded_matrix_supported(table):
+            raise NotImplementedError(
+                "banded-SP matrix scoring needs a packed-nibble-range "
+                "table (alphabet+1 <= 31); wider tables are single-device "
+                "full-matrix territory"
+            )
+        A1 = int(table.shape[0])
+        q_sent, t_sent = A1, A1 + 1
+    else:
+        q_sent, t_sent = 4, 5
     # replicated padded letters; blocks slice at d*R (see module docstring
     # for the halo-sharded production layout)
     qg = np.full((NG, GB, (D - 1) * R + WQL), q_sent, np.int32)
@@ -259,8 +297,17 @@ def _sp_setup(qs, ts, sp: ScoringParams, band: int, mesh: Mesh, CK, nsub):
         dlo_pg[gidx, gi] = dlo_p[i]
         dhi_pg[gidx, gi] = dhi_p[i]
 
+    if profile:
+        # (NG, G_PROF, GB, W) packed-nibble query profile over the padded
+        # letters (build_packed_profile_np zero-packs sentinel codes)
+        pgq = np.stack(
+            [build_packed_profile_np(qg[gi], table) for gi in range(NG)]
+        )
+    else:
+        pgq = None
     interpret = jax.devices()[0].platform != "tpu"
     geom = dict(
+        profile=profile,
         R=R,
         Dband=Dband,
         Kloc=Kloc,
@@ -273,8 +320,8 @@ def _sp_setup(qs, ts, sp: ScoringParams, band: int, mesh: Mesh, CK, nsub):
         dlo_g=dlo_g,
         CK=CK,
         nsub=nsub,
-        match=sp.match,
-        mismatch=sp.mismatch,
+        match=0 if profile else sp.match,
+        mismatch=0 if profile else sp.mismatch,
         o=sp.gap_open,
         e=sp.gap_extend,
         interpret=interpret,
@@ -285,7 +332,7 @@ def _sp_setup(qs, ts, sp: ScoringParams, band: int, mesh: Mesh, CK, nsub):
     )
     arrays = dict(
         qg=qg, tg=tg, qlen_g=qlen_g, tlen_g=tlen_g, dlo_pg=dlo_pg,
-        dhi_pg=dhi_pg, qlen=qlen, tlen=tlen,
+        dhi_pg=dhi_pg, qlen=qlen, tlen=tlen, pgq=pgq,
     )
     return geom, arrays
 
@@ -295,21 +342,25 @@ def _sp_relay(geom, arrays, mesh, want_tb=False):
         _relay_body, geom=geom, NG=geom["NG"], D=geom["D"], want_tb=want_tb
     )
     out_specs = (P(), P(BAND_AXIS)) if want_tb else P()
+    n_in = 7 if geom["profile"] else 6
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
+        in_specs=(P(),) * n_in,
         out_specs=out_specs,
         check_vma=False,
     )
-    out = jax.jit(fn)(
+    args = [
         jnp.asarray(arrays["qg"]),
         jnp.asarray(arrays["tg"]),
         jnp.asarray(arrays["qlen_g"]),
         jnp.asarray(arrays["tlen_g"]),
         jnp.asarray(arrays["dlo_pg"]),
         jnp.asarray(arrays["dhi_pg"]),
-    )
+    ]
+    if geom["profile"]:
+        args.append(jnp.asarray(arrays["pgq"]))
+    out = jax.jit(fn)(*args)
     if want_tb:
         scores, bnds = out
         steps = geom["NG"] + geom["D"] - 1
@@ -402,6 +453,7 @@ def banded_nw_affine_align_sp(
         gap_extend=g["e"],
         CK=CK,
         interpret=g["interpret"],
+        profile=g["profile"],
         nsub=nsub,
     )
     qg, tg = arrays["qg"], arrays["tg"]
@@ -418,7 +470,10 @@ def banded_nw_affine_align_sp(
     dn0[0] = 0
     ops_blocks = []  # (device int8 ops block, KW), walk order
     for d in range(d_owner, -1, -1):
-        qkb = jnp.asarray(qg[0, :, d * R : d * R + g["WQL"]])
+        if g["profile"]:
+            qkb = jnp.asarray(arrays["pgq"][0, :, :, d * R : d * R + g["WQL"]])
+        else:
+            qkb = jnp.asarray(qg[0, :, d * R : d * R + g["WQL"]])
         tkb = jnp.asarray(tg[0, :, d * R : d * R + g["WTL"]])
         lens = dict(
             qlen=jnp.asarray(arrays["qlen_g"][0] - d * R, jnp.int32),
@@ -429,8 +484,7 @@ def banded_nw_affine_align_sp(
             dhi=jnp.asarray(arrays["dhi_pg"][0] - dlo_g, jnp.int32),
         )
         bh, bf = bnds[d, d, 0], bnds[d, d, 1]
-        st0 = jnp.full((n_band_state(False), GB, Wp), NEG_INF, jnp.int32)
-        st0 = st0.at[4].set(qkb[:, :Wp]).at[5].set(0)
+        st0 = _init_block_state(qkb, g)
         sc0 = jnp.full((GB, Wp), NEGj)
         # block refill with per-CK checkpoints (device-resident)
         st_r, ck_parts = st0, []

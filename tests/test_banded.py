@@ -223,3 +223,25 @@ def test_banded_device_walk_matrix_scoring(rng):
     for b in range(2):
         ref = nw_affine(qs[b][: qlen[b]], ts[b][: tlen[b]], sp, band=10)
         assert str(res[b]) == str(ref), (b, res[b], ref)
+
+
+@pytest.mark.parametrize(
+    "band,CK",
+    [
+        (63, 64),  # dhi+1 == CK: the clamp chunk ends exactly at the
+        #            steady boundary — no dyn transition chunk at all
+        (64, 64),  # dhi+1 == CK+1: clamp + dyn + steady
+        (7, 64),  # clamp zone smaller than one chunk: dyn + steady only
+    ],
+)
+def test_banded_phase_boundary_geometries(rng, band, CK):
+    """_phase_runs edge cases (round 4): the clamp/dyn/steady split must
+    be exact when dhi+1 lands exactly on, just past, or well inside a
+    chunk boundary."""
+    from seqalib_tpu.models.banded import _phase_runs
+
+    runs = _phase_runs(0, 512, CK, band)  # delta-0 bucket: dhi == band
+    assert runs[0][0] == 0 and runs[-1][1] == 512
+    for (a0, a1, _), (b0, b1, _) in zip(runs, runs[1:]):
+        assert a1 == b0
+    _check(rng, [150], [150], band, CK)

@@ -158,3 +158,35 @@ def test_banded_sp_align_empty(mesh):
         np.zeros(0, np.int32), np.arange(4, dtype=np.int32) % 4, SP, 8, mesh
     )
     assert (got.score, got.cigar) == (SP.gap_open + 4 * SP.gap_extend, "4D")
+
+
+def test_banded_sp_matrix_scoring(mesh):
+    """Substitution-matrix scoring through the relay's packed-nibble
+    profile windows (score + CIGAR vs the oracle)."""
+    from seqalib_tpu.parallel.banded_sp import (
+        banded_nw_affine_align_sp,
+        banded_nw_affine_score_sp,
+    )
+
+    rng = np.random.default_rng(29)
+    mat = rng.integers(-4, 6, size=(8, 8)).astype(np.int32)
+    np.fill_diagonal(mat, rng.integers(4, 11, size=8))
+    spm = ScoringParams(gap_open=-6, gap_extend=-1, matrix=mat)
+    q = rng.integers(0, 8, 300).astype(np.int32)
+    t = rng.integers(0, 8, 280).astype(np.int32)
+    ref = nw_affine(q, t, spm, band=24)
+    assert banded_nw_affine_score_sp(q, t, spm, 24, mesh, CK=64) == ref.score
+    got = banded_nw_affine_align_sp(q, t, spm, 24, mesh, CK=64)
+    assert str(got) == str(ref)
+
+
+def test_banded_sp_wide_matrix_raises(mesh):
+    from seqalib_tpu.parallel.banded_sp import banded_nw_affine_score_sp
+
+    mat = np.full((4, 4), -30, np.int32)
+    np.fill_diagonal(mat, 50)
+    spm = ScoringParams(gap_open=-6, gap_extend=-1, matrix=mat)
+    with pytest.raises(NotImplementedError):
+        banded_nw_affine_score_sp(
+            np.zeros(16, np.int32), np.zeros(16, np.int32), spm, 4, mesh
+        )
