@@ -254,7 +254,6 @@ def _sp_setup(qs, ts, sp: ScoringParams, band: int, mesh: Mesh, CK, nsub):
     Wb = Wbo + 2 * LANES  # aligned-block slack for the injection stream
     WQL = _ceil_to(R + Dband // 2 + Wp + 2, LANES) + 2 * LANES
     WTL = _ceil_to(Kp + 2, LANES) + 2 * LANES
-    m_max = int(tlen.max())
 
     NG = _ceil_to(B0, GB) // GB
     Bp = NG * GB
