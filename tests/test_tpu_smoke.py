@@ -1,9 +1,13 @@
 """Curated on-chip regression subset (VERDICT.md round-1 item 8).
 
 The full suite provably cannot run through the axon tunnel (>7 min,
-judge-timed); this file is the <=3-minute on-chip gate:
+judge-timed); this file is the on-chip gate:
 
     SEQALIB_TEST_TPU=1 python -m pytest tests/test_tpu_smoke.py -q
+
+Runtime is compile-bound: ~1-3 min when the remote-compile cache is
+warm, up to ~13 min on the first run after kernel static-arg changes
+(round-4 battery measured both).
 
 Every test here is value-level oracle parity of a distinct compiled-kernel
 variant (fused two-pass local coords, window traceback, global ptr-stream,
