@@ -190,3 +190,28 @@ def test_banded_sp_wide_matrix_raises(mesh):
         banded_nw_affine_score_sp(
             np.zeros(16, np.int32), np.zeros(16, np.int32), spm, 4, mesh
         )
+
+
+def test_banded_sp_cross_engine_mixed_batch(mesh):
+    """Cross-engine property: the relay must agree with the single-device
+    banded kernel on a mixed batch (varying lengths AND deltas, both
+    engines independently oracle-anchored)."""
+    from seqalib_tpu.models.banded import banded_align_batch
+
+    rng = np.random.default_rng(31)
+    qlens = [200, 450, 133, 390, 512]
+    tlens = [230, 440, 150, 360, 500]
+    qs, ts = _pairs(rng, qlens, tlens)
+    band = 40
+    got = banded_nw_affine_score_sp(qs, ts, SP, band, mesh, CK=64)
+    W = max(max(qlens), max(tlens))
+    qm = np.zeros((5, W), np.int32)
+    tm = np.zeros((5, W), np.int32)
+    for i in range(5):
+        qm[i, : qlens[i]] = qs[i]
+        tm[i, : tlens[i]] = ts[i]
+    ref = banded_align_batch(
+        qm, tm, np.array(qlens), np.array(tlens), SP, band, traceback=False
+    )
+    for b in range(5):
+        assert got[b] == ref[b].score, b
