@@ -918,17 +918,25 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
 
     ST_H, ST_E, ST_F = 0, 1, 2
     KWp = _ceil_to(KW, LANES)
-    NBK = KWp // LANES
+    # WSTEP diagonals per grid step (round 4): one-diagonal grid steps
+    # measured ~4.3us each — pure grid/pipeline overhead against ~0.2us
+    # of walk math — which made the walk the dominant 100kb traceback
+    # component (200k steps).  The inner unroll is static (row indices
+    # and nibble parities are compile-time), so a 16-wide step costs one
+    # grid step + 16 cheap substeps.
+    WSTEP = next(w for w in (16, 8, 4, 2, 1) if KW % w == 0)
+    if packed and WSTEP % 2:
+        raise ValueError(f"packed walk needs an even diagonal count, KW={KW}")
+    NG = KW // WSTEP
 
     def kern(k0_ref, ptr_ref, st_in_ref, ops_ref, st_out_ref,
              s_i, s_j, s_st, s_dn):
         g = pl.program_id(0)
-        kidx = KW - 1 - g  # descending diagonals
+        base = KW - (g + 1) * WSTEP  # this step walks [base, base+WSTEP)
         # k0 is a runtime scalar (SMEM): each traceback super-block has a
         # different diagonal origin, and a static k0 would recompile the
         # walk kernel per super-block (~12+ remote compiles per 100kb
         # batch geometry)
-        k = k0_ref[0] + kidx
         parrW = jax.lax.broadcasted_iota(jnp.int32, (B, Wp), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
 
@@ -939,8 +947,9 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
             s_st[:] = st_in_ref[2]
             s_dn[:] = st_in_ref[3]
 
-        # a fresh ops block starts at its top column (first touch)
-        @pl.when((g == 0) | (kidx % LANES == LANES - 1))
+        # a fresh ops block starts at its top column (first touch; WSTEP
+        # divides LANES, so a step never straddles two ops blocks)
+        @pl.when((g == 0) | ((base + WSTEP - 1) % LANES == LANES - 1))
         def _blank():
             ops_ref[...] = jnp.full((B, LANES), 255, jnp.int32)
 
@@ -948,55 +957,62 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
         j = s_j[:]
         st = s_st[:]
         done = s_dn[:]
-        # boundary floor: a walker standing on (or below) row i_floor has
-        # left this block's computed rows — stop BEFORE reading the byte
-        done = jnp.where(i <= k0_ref[1], 1, done)
-        kcur = i + j
-        act_blk = (done == 0) & (kcur == k)
-        num = k - dhi + 1
-        ih = jnp.maximum(0, num // 2)  # traced scalar; // floors negatives
-        p = jnp.clip(i - ih, 0, Wp - 1)
-        byte = jnp.sum(
-            jnp.where(parrW == p[:, 0:1], ptr_ref[0].astype(jnp.int32), 0),
-            axis=1,
-            keepdims=True,
-        )
-        byte = jnp.broadcast_to(byte, (B, LANES))
-        if packed:
-            # nibble-select this diagonal's 4 bits (sign extension from
-            # the int8 load is masked off)
-            byte = (byte >> (4 * (kidx % 2))) & 0xF
-        ph = byte & 3
-        ee = (byte >> _EXT_E_BIT) & 1
-        ef = (byte >> _EXT_F_BIT) & 1
-        in_h = st == ST_H
-        stop = act_blk & in_h & (ph == PTR_STOP)
-        done = jnp.where(stop, 1, done)
-        act = act_blk & (done == 0)
-        act_m = act & in_h & (ph == PTR_DIAG)
-        act_i = act & ((in_h & (ph == PTR_UP)) | (st == ST_F))
-        act_d = act & ((in_h & (ph == PTR_LEFT)) | (st == ST_E))
-        op = jnp.where(
-            act_m,
-            OP_M,
-            jnp.where(act_i, OP_I, jnp.where(act_d, OP_D, 255)),
-        ).astype(jnp.int32)
-        ops_ref[...] = jnp.where(lane == kidx % LANES, op, ops_ref[...])
-        st = jnp.where(
-            act_m,
-            ST_H,
-            jnp.where(
-                act_i,
-                jnp.where(ef == 1, ST_F, ST_H),
-                jnp.where(act_d, jnp.where(ee == 1, ST_E, ST_H), st),
-            ),
-        )
-        s_i[:] = i - (act_m | act_i).astype(jnp.int32)
-        s_j[:] = j - (act_m | act_d).astype(jnp.int32)
+        opsv = ops_ref[...]
+        for u in range(WSTEP):
+            c = WSTEP - 1 - u  # descending diagonals within the step
+            kidx = base + c
+            k = k0_ref[0] + kidx
+            # boundary floor: a walker standing on (or below) row i_floor
+            # has left this block's computed rows — stop BEFORE the read
+            done = jnp.where(i <= k0_ref[1], 1, done)
+            act_blk = (done == 0) & ((i + j) == k)
+            ih = jnp.maximum(0, (k - dhi + 1) // 2)  # // floors negatives
+            p = jnp.clip(i - ih, 0, Wp - 1)
+            prow = ptr_ref[c // 2 if packed else c]
+            byte = jnp.sum(
+                jnp.where(parrW == p[:, 0:1], prow.astype(jnp.int32), 0),
+                axis=1,
+                keepdims=True,
+            )
+            byte = jnp.broadcast_to(byte, (B, LANES))
+            if packed:
+                # static nibble parity (base is even: KW and WSTEP are);
+                # the int8 load's sign extension is masked off
+                byte = (byte >> (4 * (c % 2))) & 0xF
+            ph = byte & 3
+            ee = (byte >> _EXT_E_BIT) & 1
+            ef = (byte >> _EXT_F_BIT) & 1
+            in_h = st == ST_H
+            stop = act_blk & in_h & (ph == PTR_STOP)
+            done = jnp.where(stop, 1, done)
+            act = act_blk & (done == 0)
+            act_m = act & in_h & (ph == PTR_DIAG)
+            act_i = act & ((in_h & (ph == PTR_UP)) | (st == ST_F))
+            act_d = act & ((in_h & (ph == PTR_LEFT)) | (st == ST_E))
+            op = jnp.where(
+                act_m,
+                OP_M,
+                jnp.where(act_i, OP_I, jnp.where(act_d, OP_D, 255)),
+            ).astype(jnp.int32)
+            opsv = jnp.where(lane == kidx % LANES, op, opsv)
+            st = jnp.where(
+                act_m,
+                ST_H,
+                jnp.where(
+                    act_i,
+                    jnp.where(ef == 1, ST_F, ST_H),
+                    jnp.where(act_d, jnp.where(ee == 1, ST_E, ST_H), st),
+                ),
+            )
+            i = i - (act_m | act_i).astype(jnp.int32)
+            j = j - (act_m | act_d).astype(jnp.int32)
+        ops_ref[...] = opsv
+        s_i[:] = i
+        s_j[:] = j
         s_st[:] = st
         s_dn[:] = done
 
-        @pl.when(g == KW - 1)
+        @pl.when(g == NG - 1)
         def _out():
             st_out_ref[0] = s_i[:]
             st_out_ref[1] = s_j[:]
@@ -1009,16 +1025,15 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
             for x in (iv, jv, stv, donev)
         ]
     )
+    PBLK = WSTEP // 2 if packed else WSTEP
     ops, st_out = pl.pallas_call(
         kern,
-        grid=(KW,),
+        grid=(NG,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, B, Wp),
-                (lambda g: ((KW - 1 - g) // 2, 0, 0))
-                if packed
-                else (lambda g: (KW - 1 - g, 0, 0)),
+                (PBLK, B, Wp),
+                lambda g: (NG - 1 - g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -1027,7 +1042,8 @@ def band_walk_range(ptrs, iv, jv, stv, donev, k0, *, KW, dhi, Wp, B,
         ],
         out_specs=[
             pl.BlockSpec(
-                (B, LANES), lambda g: (0, (KW - 1 - g) // LANES),
+                (B, LANES),
+                lambda g: (0, (KW - 1 - g * WSTEP) // LANES),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
