@@ -37,6 +37,19 @@ def pytest_configure(config):
     )
 
 
+def pytest_collection_modifyitems(config, items):
+    """Enforce the `slow` marker's contract: slow tests run only under an
+    explicit `-m` selection (e.g. `pytest -m slow`).  Without this hook the
+    marker was documentation-only and plain `pytest` ran the multi-minute
+    banded-SP 8kb/100kb shapes (ADVICE round-4)."""
+    if config.getoption("-m"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow: run with `pytest -m slow`")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches():
     """Drop compiled executables between modules: the CPU (LLVM JIT)

@@ -70,13 +70,23 @@ def _fused_args(rng, B, L, protein):
 KEYS = ("score", "qe", "te", "qs", "ts", "score2")
 
 
-@pytest.mark.parametrize("protein", [True, False])
-@pytest.mark.parametrize("B", [160, 256])
-def test_fused_pass2_chunked_batch_matches_small_batches(protein, B):
+@pytest.mark.parametrize(
+    "protein,B,L",
+    [
+        (True, 160, 72),
+        (True, 256, 72),
+        (False, 160, 72),
+        (False, 256, 72),
+        # L=328: n_pad=384 / WR clamped to 384, a NON-power-of-two width
+        # (Mosaic negative-roll regression class, VERDICT round-4 item 10)
+        (True, 160, 328),
+    ],
+)
+def test_fused_pass2_chunked_batch_matches_small_batches(protein, B, L):
     # B=160 exercises the padded tail (Bp=256, 96 empty pad pairs);
     # B=256 the exact-multiple path.  L=72 keeps interpret mode fast.
     rng = np.random.default_rng(7)
-    args, kw = _fused_args(rng, B=B, L=72, protein=protein)
+    args, kw = _fused_args(rng, B=B, L=L, protein=protein)
     big = _strip_local_fused(*args, **kw, pass2="banded")
     halves = []
     H = B // 2  # 80 / 128: both <= 128, i.e. both take the unchunked path

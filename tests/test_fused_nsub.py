@@ -63,13 +63,26 @@ def _fused_args(rng, B=4, L=96):
     return args, kw
 
 
-@pytest.mark.parametrize("nsub", [1, 8, 32])
-def test_fused_pass2_nsub_invariant(nsub):
+@pytest.mark.parametrize(
+    "nsub,L",
+    [
+        (1, 96),
+        (8, 96),
+        (32, 96),
+        # non-default geometries (VERDICT round-4 item 10): L=200 -> the
+        # chunked steady path; L=328 -> n_pad=384 and WR clamped to 384,
+        # a NON-power-of-two width (the Mosaic dynamic-negative-roll
+        # regression class that silently miscompiled in round 3)
+        (8, 200),
+        (8, 328),
+    ],
+)
+def test_fused_pass2_nsub_invariant(nsub, L):
     # nsub is passed as the EXPLICIT static arg, never via env: the env
     # form was read at trace time without entering the jit cache key, so
     # the second call below was a silent cache hit and the test vacuous
     rng = np.random.default_rng(11)
-    args, kw = _fused_args(rng)
+    args, kw = _fused_args(rng, L=L)
     ref = _strip_local_fused(*args, **kw, pass2="banded")
     out = _strip_local_fused(*args, **kw, pass2="banded", nsub=nsub)
     for key in ("score", "qe", "te", "qs", "ts", "score2"):

@@ -70,16 +70,30 @@ def _fused_args(rng, B=4, L=200, protein=True):
     return args, kw
 
 
-@pytest.mark.parametrize("protein", [True, False])
-@pytest.mark.parametrize("nsub", [2, 4, 8])
-def test_fused_pass2_split_steady_invariant(protein, nsub):
+@pytest.mark.parametrize(
+    "protein,nsub,L",
+    [
+        (True, 2, 200),
+        (True, 4, 200),
+        (True, 8, 200),
+        (False, 2, 200),
+        (False, 4, 200),
+        (False, 8, 200),
+        # L=328: n_pad=384 / WR=384, a NON-power-of-two width — the
+        # Mosaic dynamic-negative-roll regression class (VERDICT
+        # round-4 item 10)
+        (True, 4, 328),
+        (False, 4, 328),
+    ],
+)
+def test_fused_pass2_split_steady_invariant(protein, nsub, L):
     # L=200 makes Kp = 640 > CKb = 128: the split path covers 4 steady
     # chunks (both d1-parity skip branches execute many times).  split
     # and nsub are EXPLICIT static args, never env: the env form was
     # read at trace time without entering the jit cache key, so the
     # split=1 call was a silent cache hit and the test vacuous.
     rng = np.random.default_rng(23)
-    args, kw = _fused_args(rng, protein=protein)
+    args, kw = _fused_args(rng, protein=protein, L=L)
     ref = _strip_local_fused(*args, **kw, pass2="banded", nsub=nsub,
                              split=False)
     out = _strip_local_fused(*args, **kw, pass2="banded", nsub=nsub,
