@@ -897,12 +897,14 @@ def _global_post(
     B0,
     n_pad,
     NB,
+    interpret=None,
 ):
     """Global-mode (NW) host assembly shared by strip_bucket and the
     sharded path (parallel.dist.strip_sharded): score capture at
     H(qlen, tlen), degenerate all-gap rows, and (want_tb) the pointer
     walk to CIGARs.  ``bv`` is the (B, TI) final-score capture, ``P_raw``
-    the packed pointer stream (None when !want_tb)."""
+    the packed pointer stream (None when !want_tb; a DEVICE array on the
+    device-walk engine — see _dev_walk_enabled — else host bytes)."""
     B = len(qlen)
     barr0 = np.arange(B)
     score = bv[barr0, (np.maximum(qlen, 1) - 1) % TI]
@@ -923,17 +925,32 @@ def _global_post(
     if want_tb:
         GB = B // BSUB
         S_ = n_pad // TI
-        P = np.asarray(P_raw).reshape(GB, S_, NB * LANES, BSUB, TI)
         deg = degq | degt
-        cigars, _, _ = _strip_walk(
-            P,
-            qlen.astype(np.int64),
-            tlen.astype(np.int64),
-            deg,
-            bool(affine),
-            BSUB,
-            global_mode=True,
-        )
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        if isinstance(P_raw, jax.Array) and _dev_walk_enabled(interpret):
+            cigars, _, _ = strip_walk_dev(
+                P_raw,
+                qlen,
+                tlen,
+                deg,
+                affine=bool(affine),
+                BSUB=BSUB,
+                S=S_,
+                NB=NB,
+                interpret=interpret,
+            )
+        else:
+            P = np.asarray(P_raw).reshape(GB, S_, NB * LANES, BSUB, TI)
+            cigars, _, _ = _strip_walk(
+                P,
+                qlen.astype(np.int64),
+                tlen.astype(np.int64),
+                deg,
+                bool(affine),
+                BSUB,
+                global_mode=True,
+            )
         for b in np.nonzero(deg)[0]:
             c = ""
             if tlen[b]:
@@ -1879,3 +1896,247 @@ def _strip_walk(P, qe, te, done0, affine, BSUB, global_mode=False):
     return cigars, i, j
 
 
+
+# compile-time op codes for the walk kernels (== utils.cigar.OP_M/I/D;
+# pinned by tests/test_native.py's codec round-trips)
+OP_M_, OP_I_, OP_D_ = 0, 1, 2
+
+
+def _dev_walk_enabled(interpret: bool) -> bool:
+    """Engine choice for the global-mode strip traceback walk.
+
+    auto (default): the DEVICE walk on real TPU — the pointer stream
+    (~n_pad*(m_pad+TI) bytes/pair, ~670MB for a B=512 1kb window batch)
+    never leaves the chip and the host receives a (B, S*K) int8 op
+    matrix instead (~140x smaller); the host walkers keep interpret/CPU
+    duty where a Pallas sweep is slower than the native C++ walk.
+    SEQALIB_STRIP_DEV_WALK=1/0 forces either engine (tests pin parity
+    with =1 in interpret mode)."""
+    v = _os.environ.get("SEQALIB_STRIP_DEV_WALK", "auto")
+    if v in ("0", "1"):
+        return v == "1"
+    return not interpret
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "K", "BSUB", "affine", "interpret"),
+)
+def strip_walk_range(P, iv, jv, stv, donev, *, S, K, BSUB, affine,
+                     interpret):
+    """On-device traceback walk over the strip-layout pointer stream
+    (global/NW mode) — the strip twin of banded_pallas.band_walk_range
+    (VERDICT round-4 item 1).
+
+    P: the (GB*S*NB*LANES, BSUB, TI) int8 want_ptr output of
+    ``_strip_fill`` (never fetched); P[gb, s, k, pr, p] is the packed
+    byte of cell (i = s*TI + p + 1, j = k - p), pair gb*BSUB + pr
+    (see _strip_walk).  iv/jv/stv/donev: (B,) int32 walker state.
+
+    Sweep order: strips DESCENDING, local diagonals k DESCENDING within
+    each strip — a walker inside strip s moves to strictly smaller k
+    every step (M: k-2, I/D: k-1) until it crosses into strip s-1
+    (where it freezes until that strip's pass) or reaches the implicit
+    row-0/column-0 boundary (i<1 or j<1: done; the HOST appends the
+    deterministic all-D / all-I boundary run — see the ST_F-at-row-0
+    impossibility note in strip_walk_dev).  Each strip pass reads only
+    its own pointer blocks, so the whole sweep reads P exactly once.
+
+    Returns (ops (B, S*Kp) int8 — column s*Kp + k holds the op consumed
+    at strip s, diagonal k, 255 = none; ASCENDING array order IS
+    start->end path order — plus i'/j'/st'/done' (B,) int32).
+    """
+    ST_H, ST_E, ST_F = 0, 1, 2
+    B = iv.shape[0]
+    GB = B // BSUB
+    assert K % LANES == 0, K
+    # block cap ~1MB keeps the double-buffered pointer window modest
+    WSTEP = next(
+        w for w in (16, 8, 4, 2, 1)
+        if w * B * TI <= (1 << 21) or w == 1
+    )
+    NG = K // WSTEP
+    KC = K // LANES  # ops column blocks per strip
+
+    def kern(ptr_ref, st_in_ref, ops_ref, st_out_ref, s_i, s_j, s_st, s_dn):
+        sg = pl.program_id(0)
+        g = pl.program_id(1)
+        s_real = S - 1 - sg
+        base = K - (g + 1) * WSTEP
+        parr = jax.lax.broadcasted_iota(jnp.int32, (B, TI), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
+
+        @pl.when((sg == 0) & (g == 0))
+        def _init():
+            s_i[:] = st_in_ref[0]
+            s_j[:] = st_in_ref[1]
+            s_st[:] = st_in_ref[2]
+            s_dn[:] = st_in_ref[3]
+
+        # fresh ops block: first touch is its top column (K % LANES == 0,
+        # so strip transitions land exactly on block boundaries)
+        @pl.when((base + WSTEP - 1) % LANES == LANES - 1)
+        def _blank():
+            ops_ref[...] = jnp.full((B, LANES), 255, jnp.int32)
+
+        i = s_i[:]
+        j = s_j[:]
+        st = s_st[:]
+        done = s_dn[:]
+        opsv = ops_ref[...]
+        for u in range(WSTEP):
+            c = WSTEP - 1 - u  # descending diagonals within the step
+            kidx = base + c
+            # implicit boundary: row 0 is all-D, column 0 all-I — the
+            # host appends those runs; mark done BEFORE the read
+            done = jnp.where((i < 1) | (j < 1), 1, done)
+            iz = i - 1  # i >= 1 wherever done == 0
+            sb = iz // TI
+            pb = iz - sb * TI
+            act = (done == 0) & (sb == s_real) & ((j + pb) == kidx)
+            prow = ptr_ref[:, c].reshape(B, TI)
+            byte = jnp.sum(
+                jnp.where(parr == pb[:, 0:1], prow.astype(jnp.int32), 0),
+                axis=1,
+                keepdims=True,
+            )
+            byte = jnp.broadcast_to(byte, (B, LANES))
+            ph = byte & 3
+            ee = (byte >> 2) & 1
+            ef = (byte >> 3) & 1
+            in_h = st == ST_H
+            act_m = act & in_h & (ph == PTR_DIAG)
+            act_i = act & ((in_h & (ph == PTR_UP)) | (st == ST_F))
+            act_d = act & ((in_h & (ph == PTR_LEFT)) | (st == ST_E))
+            op = jnp.where(
+                act_m,
+                OP_M_,
+                jnp.where(act_i, OP_I_, jnp.where(act_d, OP_D_, 255)),
+            ).astype(jnp.int32)
+            opsv = jnp.where(lane == kidx % LANES, op, opsv)
+            if affine:
+                st = jnp.where(
+                    act_m,
+                    ST_H,
+                    jnp.where(
+                        act_i,
+                        jnp.where(ef == 1, ST_F, ST_H),
+                        jnp.where(
+                            act_d, jnp.where(ee == 1, ST_E, ST_H), st
+                        ),
+                    ),
+                )
+            i = i - (act_m | act_i).astype(jnp.int32)
+            j = j - (act_m | act_d).astype(jnp.int32)
+        ops_ref[...] = opsv
+        s_i[:] = i
+        s_j[:] = j
+        s_st[:] = st
+        s_dn[:] = done
+
+        @pl.when((sg == S - 1) & (g == NG - 1))
+        def _out():
+            st_out_ref[0] = s_i[:]
+            st_out_ref[1] = s_j[:]
+            st_out_ref[2] = s_st[:]
+            st_out_ref[3] = s_dn[:]
+
+    # (GB, S, K, BSUB, TI) -> (S, K, B, TI): one device transpose (~2x P
+    # in HBM traffic, transient) buys a GB-free kernel block layout
+    P5 = P.reshape(GB, S, K, BSUB, TI).transpose(1, 2, 0, 3, 4)
+    P4 = P5.reshape(S, K, B, TI)
+    st_in = jnp.stack(
+        [
+            jnp.broadcast_to(x[:, None].astype(jnp.int32), (B, LANES))
+            for x in (iv, jv, stv, donev)
+        ]
+    )
+    ops, st_out = pl.pallas_call(
+        kern,
+        grid=(S, NG),
+        in_specs=[
+            pl.BlockSpec(
+                (1, WSTEP, B, TI),
+                lambda sg, g: (S - 1 - sg, NG - 1 - g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, B, LANES), lambda sg, g: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (B, LANES),
+                lambda sg, g: (
+                    0,
+                    (S - 1 - sg) * KC + (K - 1 - g * WSTEP) // LANES,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, B, LANES), lambda sg, g: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S * K), jnp.int32),
+            jax.ShapeDtypeStruct((4, B, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, LANES), jnp.int32)] * 4,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+    )(P4, st_in)
+    return (
+        ops.astype(jnp.int8),
+        st_out[0, :, 0],
+        st_out[1, :, 0],
+        st_out[2, :, 0],
+        st_out[3, :, 0],
+    )
+
+
+def strip_walk_dev(P, qlen, tlen, done0, *, affine, BSUB, S, NB, interpret):
+    """Device-walk driver for the global-mode strip traceback: runs
+    ``strip_walk_range`` on the resident pointer stream and assembles
+    CIGARs from the fetched (B, S*K) int8 op matrix + the final walker
+    coordinates (VERDICT round-4 item 1: the flagship full-CIGAR path
+    ships op matrices, never pointer streams).
+
+    The kernel stops a walker at the implicit row-0/column-0 boundary;
+    the remaining prefix is a deterministic run: i'>0 means the path
+    still owes i' I ops (column 0), j'>0 owes j' D ops (row 0).  Both
+    cannot be positive, and gap STATE cannot leak across the boundary:
+    ST_F at row 0 would need an F-extend bit at i=1, but
+    F[1,j] = max(F[0,j]+e, H[0,j]+o+e) with F[0,j] = -inf always takes
+    the open branch (same for ST_E at column 0) — so the appended run's
+    op type is unconditionally correct.
+
+    Returns (cigars, start_i, start_j) — _strip_walk's contract.
+    """
+    from ..utils.cigar import ops_to_cigar
+
+    B = len(qlen)
+    K = NB * LANES
+    iv = jnp.asarray(qlen, jnp.int32)
+    jv = jnp.asarray(tlen, jnp.int32)
+    stv = jnp.zeros(B, jnp.int32)
+    dnv = jnp.asarray(done0, jnp.int32)
+    ops, iv, jv, stv, dnv = strip_walk_range(
+        P, iv, jv, stv, dnv, S=S, K=K, BSUB=BSUB, affine=bool(affine),
+        interpret=interpret,
+    )
+    ops_h = np.asarray(ops).view(np.uint8)
+    i_fin = np.asarray(iv)
+    j_fin = np.asarray(jv)
+    cigars = []
+    for b in range(B):
+        row = ops_h[b]
+        row = row[row != 255]
+        head = np.full(int(i_fin[b]), OP_I_, np.uint8) if i_fin[b] > 0 else (
+            np.full(int(j_fin[b]), OP_D_, np.uint8)
+        )
+        cigars.append(ops_to_cigar(np.concatenate([head, row])))
+    return cigars, np.zeros(B, np.int64), np.zeros(B, np.int64)
