@@ -24,11 +24,23 @@ MIN_BUCKET = 16
 
 
 def bucket_len(n: int) -> int:
-    """Smallest power-of-two >= n (>= MIN_BUCKET)."""
-    b = MIN_BUCKET
-    while b < n:
-        b <<= 1
-    return b
+    """Bucket width for a sequence of length n.
+
+    n <= 128: smallest power-of-two >= n (>= MIN_BUCKET) — fine-grained
+    buckets for tiny pairs on the XLA/interpret backends.  n > 128: ceil
+    to the next 128 multiple — the strip/banded kernels pad both sides
+    to 128 (TI rows / LANES columns) internally, so 128-step buckets are
+    the FINEST quantization that changes device work, and power-of-two
+    buckets above 128 only added padding: at the config-5 contract
+    distribution (reads 128-256 x refs 512-1024) they left a mean
+    true/padded cell fraction of ~0.50 vs ~0.60 at 128 steps (VERDICT
+    round-4 item 2; measured rates in BASELINE.md round 5)."""
+    if n <= 128:
+        b = MIN_BUCKET
+        while b < n:
+            b <<= 1
+        return b
+    return -(-n // 128) * 128
 
 
 def _pad_stack(seqs: List[np.ndarray], L: int) -> np.ndarray:
