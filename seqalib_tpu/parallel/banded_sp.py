@@ -41,8 +41,11 @@ kernel's packed-profile windows, matching models/banded.py.  Outputs: batched sc
 (`banded_nw_affine_score_sp`) or score + full CIGAR for one pair
 (`banded_nw_affine_align_sp`: per-block checkpointed recompute + the
 on-device walk with an i_floor block-handoff, rescore-verified).
-Letters are replicated to all devices in this v1 — production would
-shard them with R-row halos; the protocol is unchanged.  Oracle parity:
+Letters are HALO-SHARDED (round 5): each device receives only its row
+block's window [d*R, d*R + W) of the query/target/profile arrays via a
+'band'-axis sharded (D, ...) window stack, so per-device letter memory
+is O(R + band) — the memory-scaling rationale above covers letters as
+well as DP state.  Oracle parity:
 tests/test_banded_sp.py (fake 8-device CPU mesh, str-level for CIGARs),
 wired into __graft_entry__.dryrun_multichip.
 """
@@ -50,6 +53,7 @@ wired into __graft_entry__.dryrun_multichip.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -141,12 +145,23 @@ def _relay_body(
     """Per-device shard_map body: scan over super-steps with one ppermute
     per step; device d serves pair-group s - d at super-step s.
 
+    Letters arrive HALO-SHARDED (round 5, VERDICT round-4 item 4b): qg/tg
+    (and pgq) are the (1, NG, GB, W*) per-device slices of the 'band'-axis
+    sharded (D, ...) window stacks built by _sp_relay — device d holds
+    only its own row block's letter window [d*R, d*R + W*), so per-device
+    letter memory is O(R + band) instead of the v1 O(n) replication and
+    the module's memory-scaling rationale now covers letters too.
+
     With want_tb additionally returns the (resolved) boundary rows each
     step CONSUMED — (steps, 2, GB, Wb) per device — the checkpoints the
     traceback recomputes blocks from (device d's group-b boundary sits at
     step index b + d)."""
     g = geom
     d = jax.lax.axis_index(axis)
+    qg = qg[0]
+    tg = tg[0]
+    if pgq is not None:
+        pgq = pgq[0]
     R, Wb, Wbo = g["R"], g["Wb"], g["Wbo"]
     o, e = g["o"], g["e"]
     dlo_g = g["dlo_g"]
@@ -161,15 +176,11 @@ def _relay_body(
         if g["profile"]:
             # packed-nibble profile words replace the query letters
             qkb = jax.lax.dynamic_slice(
-                pgq, (bc, 0, 0, d * R), (1, pgq.shape[1], GB, g["WQL"])
+                pgq, (bc, 0, 0, 0), (1, pgq.shape[1], GB, g["WQL"])
             )[0]
         else:
-            qkb = jax.lax.dynamic_slice(
-                qg, (bc, 0, d * R), (1, GB, g["WQL"])
-            )[0]
-        tkb = jax.lax.dynamic_slice(
-            tg, (bc, 0, d * R), (1, GB, g["WTL"])
-        )[0]
+            qkb = jax.lax.dynamic_slice(qg, (bc, 0, 0), (1, GB, g["WQL"]))[0]
+        tkb = jax.lax.dynamic_slice(tg, (bc, 0, 0), (1, GB, g["WTL"]))[0]
         n_b = jax.lax.dynamic_slice(qlen_g, (bc, 0), (1, GB))[0]
         m_b = jax.lax.dynamic_slice(tlen_g, (bc, 0), (1, GB))[0]
         dlo_b = jax.lax.dynamic_slice(dlo_pg, (bc, 0), (1, GB))[0]
@@ -336,30 +347,79 @@ def _sp_setup(qs, ts, sp: ScoringParams, band: int, mesh: Mesh, CK, nsub):
     return geom, arrays
 
 
+_SP_JIT_CACHE: dict = {}
+
+
+def _geom_key(geom):
+    """Hashable cache key of a geometry dict (``runs`` is a list)."""
+    return tuple(
+        (k, tuple(v) if isinstance(v, list) else v)
+        for k, v in sorted(geom.items())
+    )
+
+
+def _halo_slices(geom, arrays):
+    """(D, ...) stacked per-device letter windows for the 'band'-axis
+    sharded relay inputs: slot d holds columns [d*R, d*R + W*) — the only
+    letters device d's row block ever reads (VERDICT round-4 item 4b:
+    drop the v1 full replication)."""
+    g = geom
+    D, R = g["D"], g["R"]
+    qg_d = np.stack(
+        [arrays["qg"][:, :, d * R : d * R + g["WQL"]] for d in range(D)]
+    )
+    tg_d = np.stack(
+        [arrays["tg"][:, :, d * R : d * R + g["WTL"]] for d in range(D)]
+    )
+    pgq_d = None
+    if arrays["pgq"] is not None:
+        pgq_d = np.stack(
+            [
+                arrays["pgq"][:, :, :, d * R : d * R + g["WQL"]]
+                for d in range(D)
+            ]
+        )
+    return qg_d, tg_d, pgq_d
+
+
 def _sp_relay(geom, arrays, mesh, want_tb=False):
-    body = functools.partial(
-        _relay_body, geom=geom, NG=geom["NG"], D=geom["D"], want_tb=want_tb
-    )
-    out_specs = (P(), P(BAND_AXIS)) if want_tb else P()
-    n_in = 7 if geom["profile"] else 6
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(P(),) * n_in,
-        out_specs=out_specs,
-        check_vma=False,
-    )
+    qg_d, tg_d, pgq_d = _halo_slices(geom, arrays)
     args = [
-        jnp.asarray(arrays["qg"]),
-        jnp.asarray(arrays["tg"]),
+        jnp.asarray(qg_d),
+        jnp.asarray(tg_d),
         jnp.asarray(arrays["qlen_g"]),
         jnp.asarray(arrays["tlen_g"]),
         jnp.asarray(arrays["dlo_pg"]),
         jnp.asarray(arrays["dhi_pg"]),
     ]
     if geom["profile"]:
-        args.append(jnp.asarray(arrays["pgq"]))
-    out = jax.jit(fn)(*args)
+        args.append(jnp.asarray(pgq_d))
+    # cached jit(shard_map): a fresh wrapper per call retraced and
+    # re-remote-compiled the whole relay program on EVERY score/align
+    # call with identical geometry (ADVICE round-4) — same pattern as
+    # parallel.dist._cached_sharded_jit
+    key = ("relay", mesh, want_tb, _geom_key(geom))
+    fn = _SP_JIT_CACHE.get(key)
+    if fn is None:
+        body = functools.partial(
+            _relay_body, geom=geom, NG=geom["NG"], D=geom["D"],
+            want_tb=want_tb,
+        )
+        out_specs = (P(), P(BAND_AXIS)) if want_tb else P()
+        in_specs = (P(BAND_AXIS), P(BAND_AXIS)) + (P(),) * 4
+        if geom["profile"]:
+            in_specs = in_specs + (P(BAND_AXIS),)
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+        _SP_JIT_CACHE[key] = fn
+    out = fn(*args)
     if want_tb:
         scores, bnds = out
         steps = geom["NG"] + geom["D"] - 1
@@ -396,6 +456,121 @@ def banded_nw_affine_score_sp(
     return out[0] if single else out
 
 
+def _walk_body(qg, tg, bnds, qlen_g, tlen_g, dlo_pg, dhi_pg, pkt0,
+               pgq=None, *, geom, gi, d_start, axis=BAND_AXIS):
+    """Per-device shard_map body of the SP traceback walk for pair-group
+    ``gi`` (round 5: VERDICT round-4 items 4a/4c + ADVICE 2/3 — batched,
+    device-threaded, runs where the letters live).
+
+    Phase 1 (all devices IN PARALLEL, no serialization): each device
+    refills its OWN row block from its locally captured boundary
+    (bnds[d, gi + d], never moved off-device) with want_ptr, materializing
+    the block's full (Kp, GB, Wp) pointer array device-resident — the
+    refill depends only on the relay's checkpoints, not the walker, so
+    the per-block recompute that used to run serially per handoff now
+    costs one block-fill wall for the whole pair.
+
+    Phase 2 (reverse relay scan): the (4, GB) walker packet [global row,
+    dlo-shifted col, gap state, done] hops device d -> d-1 with one
+    ppermute per step; the active device walks its pointer array with
+    band_walk_range(i_floor=0) for ALL GB pairs at once (pairs whose
+    current row is outside this block are masked done for the call and
+    merged back untouched).  No host syncs anywhere — the caller fetches
+    ops/final-state/violation once, after the whole program is queued.
+
+    Returns (ops (1, GB, Kp) int8 — this device's walked columns, 255 =
+    none; final packet (1, 4, GB); violation flag, pmax-replicated)."""
+    from ..ops.banded_pallas import band_walk_range
+
+    g = geom
+    d = jax.lax.axis_index(axis)
+    D, R, Wp, Kp, CK = g["D"], g["R"], g["Wp"], g["Kp"], g["CK"]
+    dhi_l = g["Dband"] - 1
+    qg = qg[0]
+    tg = tg[0]
+    bnds_l = bnds[0]
+    if pgq is not None:
+        pgq = pgq[0]
+    fillkw = dict(
+        K=g["Kloc"], Wp=Wp, dlo=0, dhi=dhi_l,
+        match=g["match"], mismatch=g["mismatch"],
+        gap_open=g["o"], gap_extend=g["e"], CK=CK,
+        interpret=g["interpret"], profile=g["profile"], nsub=g["nsub"],
+    )
+    qkb = pgq[gi] if g["profile"] else qg[gi]
+    tkb = tg[gi]
+    qlen_l = qlen_g[gi] - d * R
+    tlen_l = tlen_g[gi] - d * R - g["dlo_g"]
+    dlo_l = dlo_pg[gi] - g["dlo_g"]
+    dhi_lv = dhi_pg[gi] - g["dlo_g"]
+    # device d consumed group gi's boundary at super-step gi + d
+    bstep = jax.lax.dynamic_index_in_dim(
+        bnds_l, gi + d, axis=0, keepdims=False
+    )
+    bh, bf = bstep[0], bstep[1]
+    sc0 = jnp.full((GB, Wp), jnp.int32(NEG_INF))
+    st_r = _init_block_state(qkb, g)
+    ptr_parts = []
+    for k0r, k1r, ph in g["runs"]:
+        _, st_r, _, ptr_r = band_fill_range(
+            qkb, tkb, qlen_l, tlen_l, dlo_l, dhi_lv, st_r, sc0,
+            k_start=k0r, k_end=k1r, want_ptr=True, want_ckpt=False,
+            phase=ph, want_score=False, bh=bh, bf=bf, **fillkw,
+        )
+        ptr_parts.append(ptr_r)
+    ptrs = (
+        ptr_parts[0] if len(ptr_parts) == 1
+        else jnp.concatenate(ptr_parts, axis=0)
+    )
+
+    def step(carry, s):
+        pkt, opsm, fin, viol = carry
+        active = d == (d_start - s)
+
+        def do(c):
+            pkt, opsm, fin, viol = c
+            i0, j0, stv, dn = pkt[0], pkt[1], pkt[2], pkt[3]
+            # walkers currently inside this row block; the rest are
+            # masked done for the call and merged back untouched
+            partic = (dn == 0) & (i0 > d * R)
+            ops_blk, il, jl, st2, _ = band_walk_range(
+                ptrs, i0 - d * R, j0 - d * R, stv,
+                jnp.where(partic, 0, 1), 0,
+                KW=Kp, dhi=dhi_l, Wp=Wp, B=GB,
+                interpret=g["interpret"], i_floor=0,
+            )
+            i0n = jnp.where(partic, il + d * R, i0)
+            j0n = jnp.where(partic, jl + d * R, j0)
+            stn = jnp.where(partic, st2, stv)
+            dnn = jnp.where(partic & (d == 0), 1, dn)
+            # every participant must exit at the block floor (handoff
+            # invariant; fetched once by the caller)
+            viol = viol | (partic & (il != 0)).any()
+            pkt2 = jnp.stack([i0n, j0n, stn, dnn])
+            return pkt2, ops_blk.astype(jnp.int8), pkt2, viol
+
+        pkt2, opsm2, fin2, viol2 = jax.lax.cond(
+            active, do, lambda c: c, (pkt, opsm, fin, viol)
+        )
+        pkt_next = jax.lax.ppermute(
+            pkt2, axis, [(i, (i - 1) % D) for i in range(D)]
+        )
+        return (pkt_next, opsm2, fin2, viol2), None
+
+    KWp = _ceil_to(Kp, LANES)
+    init = (
+        pkt0,
+        jnp.full((GB, KWp), 255, jnp.int8),
+        pkt0,
+        jnp.zeros((), bool),
+    )
+    (_, opsm, fin, viol), _ = jax.lax.scan(
+        step, init, jnp.arange(d_start + 1, dtype=jnp.int32)
+    )
+    viol_all = jax.lax.pmax(viol.astype(jnp.int32), axis)
+    return opsm[None], fin[None], viol_all
+
+
 def banded_nw_affine_align_sp(
     q,
     t,
@@ -405,150 +580,146 @@ def banded_nw_affine_align_sp(
     CK: int = 256,
     nsub: int = 4,
 ):
-    """Banded affine global alignment of ONE long pair over the mesh —
-    score AND CIGAR (the item-4 stretch: the SP band path's output beyond
-    a score; north star "CIGAR tracebacks gathered via collectives").
+    """Banded affine global alignment over the mesh — scores AND CIGARs
+    (north star "CIGAR tracebacks gathered via collectives").
 
-    Fill: the banded-SP relay, additionally keeping each block's CONSUMED
-    boundary rows (device-resident).  Traceback: the banded checkpointed
-    scheme applied per row block, owner block down to block 0 — each
-    block refills with want_ckpt from its boundary, recomputes pointer
-    super-blocks, and walks them ON DEVICE (band_walk_range with
-    i_floor=0: local row 0 is the injected boundary, whose pointer bytes
-    are junk — the walker stops there and hands off to the previous block
-    with a coordinate shift).  The result CIGAR is rescore-verified
-    against the relay score before returning.
+    Accepts one pair (1-D int codes) or a BATCH (list of 1-D / (B, L)):
+    the relay fills every GB-pair group in one pipelined pass, then the
+    sharded walk program (_walk_body) tracebacks each group — all GB
+    walker slots active, every block's recompute running on the device
+    that owns its letters/boundaries, zero per-block host syncs (VERDICT
+    round-4 item 4a/4c; ADVICE round-4 items 2/3).  Each CIGAR is
+    rescore-verified against its relay score before returning.  Returns
+    an AlignResult for a single pair, else a list.
     """
     from ..types import AlignResult
-    from ..utils.cigar import OP_D, OP_I, ops_to_cigar
-    from ..ops.banded_pallas import band_walk_range
+    from ..utils.cigar import OP_D, ops_to_cigar
     from .band_pipeline import _rescore_global_affine
 
-    q = np.asarray(q, np.int32)
-    t = np.asarray(t, np.int32)
-    n, m = len(q), len(t)
-    if n == 0 or m == 0:
-        score = 0 if n == m else sp.gap_open + max(n, m) * sp.gap_extend
-        return AlignResult(
-            int(score), 0, n, 0, m,
-            (f"{m}D" if m else "") if n == 0 else f"{n}I",
-        )
-    geom, arrays = _sp_setup([q], [t], sp, band, mesh, CK, nsub)
-    scores, bnds = _sp_relay(geom, arrays, mesh, want_tb=True)
-    score = int(np.asarray(scores).reshape(-1)[0])
-
-    g = geom
-    R, Wp, Kp, dlo_g = g["R"], g["Wp"], g["Kp"], g["dlo_g"]
-    dhi_l = g["Dband"] - 1
-    NEGj = jnp.int32(NEG_INF)
-    fillkw = dict(
-        K=g["Kloc"],
-        Wp=Wp,
-        dlo=0,
-        dhi=dhi_l,
-        match=g["match"],
-        mismatch=g["mismatch"],
-        gap_open=g["o"],
-        gap_extend=g["e"],
-        CK=CK,
-        interpret=g["interpret"],
-        profile=g["profile"],
-        nsub=nsub,
+    single = isinstance(q, np.ndarray) and q.ndim == 1 or (
+        not isinstance(q, np.ndarray) and np.asarray(q[0]).ndim == 0
     )
-    qg, tg = arrays["qg"], arrays["tg"]
-    NC_ALL = Kp // CK
-    SB = max(1, min(64, (192 * 1024**2) // max(1, CK * GB * Wp)))
-    d_owner = (n - 1) // R
-    # walker state: slot 0 is the real pair; pad slots start done
-    iv = jnp.asarray([n - d_owner * R] + [0] * (GB - 1), jnp.int32)
-    jv = jnp.asarray(
-        [m - d_owner * R - dlo_g] + [0] * (GB - 1), jnp.int32
-    )
-    stv = jnp.zeros((GB,), jnp.int32)
-    dn0 = np.ones(GB, np.int32)
-    dn0[0] = 0
-    ops_blocks = []  # (device int8 ops block, KW), walk order
-    for d in range(d_owner, -1, -1):
-        if g["profile"]:
-            qkb = jnp.asarray(arrays["pgq"][0, :, :, d * R : d * R + g["WQL"]])
-        else:
-            qkb = jnp.asarray(qg[0, :, d * R : d * R + g["WQL"]])
-        tkb = jnp.asarray(tg[0, :, d * R : d * R + g["WTL"]])
-        lens = dict(
-            qlen=jnp.asarray(arrays["qlen_g"][0] - d * R, jnp.int32),
-            tlen=jnp.asarray(
-                arrays["tlen_g"][0] - d * R - dlo_g, jnp.int32
-            ),
-            dlo=jnp.asarray(arrays["dlo_pg"][0] - dlo_g, jnp.int32),
-            dhi=jnp.asarray(arrays["dhi_pg"][0] - dlo_g, jnp.int32),
+    qs = [np.asarray(q, np.int32)] if single else [
+        np.asarray(x, np.int32) for x in q
+    ]
+    ts = [np.asarray(t, np.int32)] if single else [
+        np.asarray(x, np.int32) for x in t
+    ]
+    results: list = [None] * len(qs)
+    live = [i for i, (qq, tt) in enumerate(zip(qs, ts))
+            if len(qq) and len(tt)]
+    for i in range(len(qs)):
+        if i not in live:
+            n, m = len(qs[i]), len(ts[i])
+            score = 0 if n == m else sp.gap_open + max(n, m) * sp.gap_extend
+            results[i] = AlignResult(
+                int(score), 0, n, 0, m,
+                (f"{m}D" if m else "") if n == 0 else f"{n}I",
+            )
+    if live:
+        geom, arrays = _sp_setup(
+            [qs[i] for i in live], [ts[i] for i in live], sp, band, mesh,
+            CK, nsub,
         )
-        bh, bf = bnds[d, d, 0], bnds[d, d, 1]
-        st0 = _init_block_state(qkb, g)
-        sc0 = jnp.full((GB, Wp), NEGj)
-        # block refill with per-CK checkpoints (device-resident)
-        st_r, ck_parts = st0, []
-        for k0r, k1r, ph in g["runs"]:
-            _, st_r, ck_r, _ = band_fill_range(
-                qkb, tkb, lens["qlen"], lens["tlen"], lens["dlo"],
-                lens["dhi"], st_r, sc0,
-                k_start=k0r, k_end=k1r, want_ptr=False, want_ckpt=True,
-                phase=ph, want_score=False, bh=bh, bf=bf, **fillkw,
-            )
-            ck_parts.append(ck_r)
-        ckpts = (
-            ck_parts[0] if len(ck_parts) == 1
-            else jnp.concatenate(ck_parts, axis=0)
-        )
-        dnv = jnp.asarray(dn0)
-        kcur0 = int(np.asarray(iv[0] + jv[0]))
-        ci = min(kcur0 // CK, NC_ALL - 1)
-        while ci >= 0:
-            cg = (ci // SB) * SB
-            k1g = min(cg + SB, NC_ALL) * CK
-            st_p, ptr_parts = ckpts[cg], []
-            for k0r, k1r, ph in _phase_runs(cg * CK, k1g, CK, dhi_l):
-                _, st_p, _, ptr_r = band_fill_range(
-                    qkb, tkb, lens["qlen"], lens["tlen"], lens["dlo"],
-                    lens["dhi"], st_p, sc0,
-                    k_start=k0r, k_end=k1r, want_ptr=True, want_ckpt=False,
-                    phase=ph, want_score=False, bh=bh, bf=bf, **fillkw,
-                )
-                ptr_parts.append(ptr_r)
-            ptrs = (
-                ptr_parts[0] if len(ptr_parts) == 1
-                else jnp.concatenate(ptr_parts, axis=0)
-            )
-            KW = k1g - cg * CK
-            ops_blk, iv, jv, stv, dnv = band_walk_range(
-                ptrs[:KW], iv, jv, stv, dnv, cg * CK,
-                KW=KW, dhi=dhi_l, Wp=Wp, B=GB, interpret=g["interpret"],
-                i_floor=0,
-            )
-            ops_blocks.append((ops_blk.astype(jnp.int8), KW))
-            ci = cg - 1
-        # handoff: local row 0 of block d = local row R of block d-1
-        il = int(np.asarray(iv[0]))
-        jl = int(np.asarray(jv[0]))
-        if il != 0:
+        g = geom
+        ptr_bytes = g["Kp"] * GB * g["Wp"]
+        cap = int(_os.environ.get(
+            "SEQALIB_SP_PTR_CAP", str(2 * 1024**3)
+        ))
+        if ptr_bytes > cap:
             raise RuntimeError(
-                f"SP block walk ended mid-block (d={d}, i_local={il})"
+                f"banded-SP traceback pointer block {ptr_bytes/1e9:.1f} GB "
+                f"per device exceeds SEQALIB_SP_PTR_CAP={cap}; use more "
+                "devices (smaller R) or a narrower band"
             )
-        if d > 0:
-            iv = iv.at[0].add(R)
-            jv = jv.at[0].add(R)
-    # assemble: blocks are in walk order; columns descend within a block
-    ops = []
-    for ops_blk, KW in ops_blocks:
-        row = np.asarray(ops_blk).view(np.uint8)[0, :KW][::-1]
-        ops.extend(int(x) for x in row if x != 255)
-    ops.reverse()
-    # epilogue: the walker stops at global row 0 (the injected gap-chain
-    # boundary); any remaining columns are leading deletions.  Local
-    # j'' = j_global - dlo_g at block 0.
-    ops = [OP_D] * (jl + dlo_g) + ops
-    walked = _rescore_global_affine(q, t, ops, sp)
-    if walked != score:  # not an assert: must survive python -O
-        raise RuntimeError(
-            f"banded-SP traceback rescore {walked} != relay score {score}"
+        scores, bnds = _sp_relay(geom, arrays, mesh, want_tb=True)
+        scores_h = np.asarray(scores).reshape(-1)
+        R, dlo_g = g["R"], g["dlo_g"]
+        qlen, tlen = arrays["qlen_g"], arrays["tlen_g"]  # (NG, GB)
+        for gi in range(g["NG"]):
+            d_start = int((qlen[gi].max() - 1) // R)
+            # walker packet: [global row, col - dlo_g, gap state, done]
+            dn0 = (qlen[gi] == 0).astype(np.int32)  # pad slots start done
+            pkt0 = jnp.asarray(np.stack([
+                qlen[gi].astype(np.int32),
+                (tlen[gi] - dlo_g).astype(np.int32),
+                np.zeros(GB, np.int32),
+                dn0,
+            ]))
+            opsm, fin, viol = _sp_walk(
+                geom, arrays, mesh, bnds, pkt0, gi=gi, d_start=d_start
+            )
+            opsm_h = np.asarray(opsm).view(np.uint8)  # (D, GB, KWp)
+            fin0 = np.asarray(fin)[0]  # (4, GB) from device 0
+            if int(np.asarray(viol)) != 0:
+                raise RuntimeError(
+                    "SP block walk ended mid-block (handoff invariant)"
+                )
+            for b in range(GB):
+                idx = gi * GB + b
+                if idx >= len(live):
+                    break
+                i_out = live[idx]
+                row = np.concatenate(
+                    [opsm_h[d, b] for d in range(d_start + 1)]
+                )
+                row = row[row != 255]
+                j_glob = int(fin0[1, b]) + dlo_g
+                if int(fin0[0, b]) != 0 or j_glob < 0:
+                    raise RuntimeError(
+                        f"SP walk final state invalid (pair {i_out}: "
+                        f"i={int(fin0[0, b])}, j={j_glob})"
+                    )
+                ops = [OP_D] * j_glob + [int(x) for x in row]
+                score = int(scores_h[idx])
+                walked = _rescore_global_affine(
+                    qs[i_out], ts[i_out], ops, sp
+                )
+                if walked != score:  # not an assert: survives python -O
+                    raise RuntimeError(
+                        f"banded-SP traceback rescore {walked} != relay "
+                        f"score {score}"
+                    )
+                results[i_out] = AlignResult(
+                    score, 0, len(qs[i_out]), 0, len(ts[i_out]),
+                    ops_to_cigar(ops),
+                )
+    return results[0] if single else results
+
+
+def _sp_walk(geom, arrays, mesh, bnds, pkt0, *, gi, d_start):
+    """Cached jit(shard_map) launch of _walk_body (same caching rationale
+    as _sp_relay)."""
+    qg_d, tg_d, pgq_d = _halo_slices(geom, arrays)
+    args = [
+        jnp.asarray(qg_d),
+        jnp.asarray(tg_d),
+        bnds,
+        jnp.asarray(arrays["qlen_g"].astype(np.int32)),
+        jnp.asarray(arrays["tlen_g"].astype(np.int32)),
+        jnp.asarray(arrays["dlo_pg"]),
+        jnp.asarray(arrays["dhi_pg"]),
+        pkt0,
+    ]
+    if geom["profile"]:
+        args.append(jnp.asarray(pgq_d))
+    key = ("walk", mesh, gi, d_start, _geom_key(geom))
+    fn = _SP_JIT_CACHE.get(key)
+    if fn is None:
+        body = functools.partial(
+            _walk_body, geom=geom, gi=gi, d_start=d_start
         )
-    return AlignResult(int(score), 0, n, 0, m, ops_to_cigar(ops))
+        in_specs = (P(BAND_AXIS), P(BAND_AXIS), P(BAND_AXIS)) + (P(),) * 5
+        if geom["profile"]:
+            in_specs = in_specs + (P(BAND_AXIS),)
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=in_specs,
+                out_specs=(P(BAND_AXIS), P(BAND_AXIS), P()),
+                check_vma=False,
+            )
+        )
+        _SP_JIT_CACHE[key] = fn
+    return fn(*args)
