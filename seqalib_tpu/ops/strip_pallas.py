@@ -139,6 +139,11 @@ def fused_pass2_knobs(interpret: bool) -> dict:
         # opt-in sound canonical-tie closure (escalates aggressively on
         # long genuine alignments by design — see _strip_local_fused)
         tie_safe=env.get("SEQALIB_FUSED_TIE_SAFE", "0") == "1",
+        # pass-2 slice size (pairs per band_fill_range launch): the
+        # kernel holds its whole batch in VMEM, so the ceiling is scoped
+        # vmem; 128 is the validated default (256 measured on-chip
+        # round 5: see BASELINE.md)
+        pc2=int(env.get("SEQALIB_FUSED_PC2", "128")),
     )
 
 
@@ -898,13 +903,17 @@ def _global_post(
     n_pad,
     NB,
     interpret=None,
+    walked=None,
 ):
     """Global-mode (NW) host assembly shared by strip_bucket and the
     sharded path (parallel.dist.strip_sharded): score capture at
     H(qlen, tlen), degenerate all-gap rows, and (want_tb) the pointer
     walk to CIGARs.  ``bv`` is the (B, TI) final-score capture, ``P_raw``
     the packed pointer stream (None when !want_tb; a DEVICE array on the
-    device-walk engine — see _dev_walk_enabled — else host bytes)."""
+    device-walk engine — see _dev_walk_enabled — else host bytes).
+    ``walked``: a pre-walked (ops, ifin, jfin) triple from
+    strip_fill_walk_global (the sharded fill+walk program) — skips the
+    engine choice entirely."""
     B = len(qlen)
     barr0 = np.arange(B)
     score = bv[barr0, (np.maximum(qlen, 1) - 1) % TI]
@@ -928,7 +937,12 @@ def _global_post(
         deg = degq | degt
         if interpret is None:
             interpret = jax.devices()[0].platform != "tpu"
-        if isinstance(P_raw, jax.Array) and _dev_walk_enabled(interpret):
+        if walked is not None:
+            ops_h, ifin, jfin = walked
+            cigars = _cigars_from_ops(
+                np.asarray(ops_h), np.asarray(ifin), np.asarray(jfin)
+            )
+        elif isinstance(P_raw, jax.Array) and _dev_walk_enabled(interpret):
             cigars, _, _ = strip_walk_dev(
                 P_raw,
                 qlen,
@@ -1284,6 +1298,7 @@ def _reduce_best_jnp(bv, bk, stride):
         "nsub",
         "split",
         "tie_safe",
+        "pc2",
     ),
 )
 def _strip_local_fused(
@@ -1311,6 +1326,7 @@ def _strip_local_fused(
     nsub=None,
     split=None,
     tie_safe=False,
+    pc2=128,
 ):
     """Fused two-pass local coords, fully inside jit: the end-only local
     fill, the canonical-end reduce, the reversed-prefix gathers, and the
@@ -1641,7 +1657,7 @@ def _strip_local_fused(
                 )
             return score2_c, ri_c, rj_c
 
-        PC2 = 128  # largest slice that fits scoped vmem with headroom
+        PC2 = pc2  # pairs per band_fill_range launch (scoped-vmem bound)
         if B > PC2:
             Bp = _ceil_to(B, PC2)
             padn = Bp - B
@@ -2128,15 +2144,49 @@ def strip_walk_dev(P, qlen, tlen, done0, *, affine, BSUB, S, NB, interpret):
         P, iv, jv, stv, dnv, S=S, K=K, BSUB=BSUB, affine=bool(affine),
         interpret=interpret,
     )
-    ops_h = np.asarray(ops).view(np.uint8)
-    i_fin = np.asarray(iv)
-    j_fin = np.asarray(jv)
+    cigars = _cigars_from_ops(np.asarray(ops), np.asarray(iv), np.asarray(jv))
+    return cigars, np.zeros(B, np.int64), np.zeros(B, np.int64)
+
+
+def _cigars_from_ops(ops_h, i_fin, j_fin):
+    """Assemble CIGAR strings from a device-walk op matrix: filter the
+    255 no-op columns (ascending array order = start->end path order) and
+    prepend the implicit boundary run the kernel stopped at (i'>0: I run
+    down column 0; j'>0: D run along row 0 — see strip_walk_dev)."""
+    from ..utils.cigar import ops_to_cigar
+
+    ops_h = ops_h.view(np.uint8)
     cigars = []
-    for b in range(B):
+    for b in range(ops_h.shape[0]):
         row = ops_h[b]
         row = row[row != 255]
         head = np.full(int(i_fin[b]), OP_I_, np.uint8) if i_fin[b] > 0 else (
             np.full(int(j_fin[b]), OP_D_, np.uint8)
         )
         cigars.append(ops_to_cigar(np.concatenate([head, row])))
-    return cigars, np.zeros(B, np.int64), np.zeros(B, np.int64)
+    return cigars
+
+
+def strip_fill_walk_global(qpad, t2, qlen, tlen, table, *, BSUB, interpret,
+                           **kwc):
+    """Fused global fill + device traceback walk — ONE program suitable
+    for shard_map (parallel.dist.strip_sharded): each device fills and
+    walks its own pair shard, so the gather ships (B, S*K) int8 op
+    matrices and never the pointer stream (BASELINE.json:5 "CIGAR
+    tracebacks gathered via collectives").  Returns bv + the op matrix +
+    final walker coords for _cigars_from_ops."""
+    res = _strip_fill(
+        qpad, t2, qlen, tlen, table,
+        want_ptr=True, gmode=True, BSUB=BSUB, interpret=interpret, **kwc,
+    )
+    S = qpad.shape[1] // TI
+    K = ((t2.shape[1] - LANES) // LANES) * LANES
+    iv = jnp.asarray(qlen).astype(jnp.int32)
+    jv = jnp.asarray(tlen).astype(jnp.int32)
+    deg = ((iv == 0) | (jv == 0)).astype(jnp.int32)
+    ops, ifin, jfin, _, _ = strip_walk_range(
+        res["P"], iv, jv, jnp.zeros_like(iv), deg,
+        S=S, K=K, BSUB=BSUB, affine=bool(kwc["affine"]),
+        interpret=interpret,
+    )
+    return {"bv": res["bv"], "ops": ops, "ifin": ifin, "jfin": jfin}

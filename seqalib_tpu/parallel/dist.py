@@ -199,12 +199,28 @@ def strip_sharded(
     from ..ops.strip_pallas import fused_pass2_knobs, fused_wr as _fwr
 
     if gmode:
-        from ..ops.strip_pallas import _strip_fill
-
-        fn = _ft.partial(
-            _strip_fill, **kwc, BSUB=BSUB, interpret=interpret,
-            want_ptr=want_tb, gmode=True,
+        from ..ops.strip_pallas import (
+            _dev_walk_enabled,
+            _strip_fill,
+            strip_fill_walk_global,
         )
+
+        dev_walk = want_tb and _dev_walk_enabled(interpret)
+        if dev_walk:
+            # fill + device traceback walk in ONE sharded program: every
+            # device walks its own pair shard and the gather ships
+            # (B, S*K) int8 op matrices, never the pointer stream
+            # (BASELINE.json:5 "CIGAR tracebacks gathered via
+            # collectives"; VERDICT round-4 item 1)
+            fn = _ft.partial(
+                strip_fill_walk_global, **kwc, BSUB=BSUB,
+                interpret=interpret,
+            )
+        else:
+            fn = _ft.partial(
+                _strip_fill, **kwc, BSUB=BSUB, interpret=interpret,
+                want_ptr=want_tb, gmode=True,
+            )
     else:
         fn = _ft.partial(
             _strip_local_fused, **kwc, BSUB=BSUB, interpret=interpret,
@@ -233,7 +249,7 @@ def strip_sharded(
     # every static in fn's partial is in the key: a config change must
     # never reuse another config's compiled program
     key = ("strip", mesh, gmode, bool(want_tb), BSUB, interpret,
-           tuple(sorted(fn.keywords.items())))
+           fn.func.__name__, tuple(sorted(fn.keywords.items())))
     res_dev = _cached_sharded_jit(key, build)(*args)
     fin = functools.partial(
         _strip_finalize, res_dev, gmode=gmode, affine=affine,
@@ -260,6 +276,9 @@ def _strip_finalize(res_dev, *, gmode, affine, gap_open, gap_extend,
     if gmode:
         from ..ops.strip_pallas import _global_post
 
+        walked = (
+            (res["ops"], res["ifin"], res["jfin"]) if "ops" in res else None
+        )
         return _global_post(
             np.asarray(res["bv"]).astype(np.int32),
             res.get("P"),
@@ -273,6 +292,8 @@ def _strip_finalize(res_dev, *, gmode, affine, gap_open, gap_extend,
             B0=B0,
             n_pad=n_pad,
             NB=NB,
+            interpret=interpret,
+            walked=walked,
         )
 
     score = res["score"].astype(np.int32)
