@@ -106,11 +106,17 @@ def banded_align_batch(
     sp: ScoringParams,
     band: int,
     traceback: bool = True,
-    CK: int = 256,
+    CK: Optional[int] = None,
     device=None,
     device_walk: Optional[bool] = None,
 ) -> List[AlignResult]:
     """Banded affine-gap global alignment of a same-delta bucket.
+
+    ``CK`` (checkpoint/chunk spacing, diagonals): defaults to 512 for
+    score-only calls (+6% fill, round-4 sweep: 59.3 vs 55.8 GCUPS(n*w)
+    at CK=512/256 — spacing is a free parameter when nothing recomputes
+    from checkpoints) and 256 with traceback (the recompute block
+    granularity rationale; VERDICT round-4 item 7).
 
     qs/ts: (B, L*) int letter codes.  Scoring: scalar match/mismatch, or a
     substitution matrix fitting the packed-nibble range (BLOSUM62 does) via
@@ -171,6 +177,8 @@ def banded_align_batch(
     dlo = int(dlo_p.min())
     dhi = int(dhi_p.max())
     Wp, K = _geometry(dlo, dhi, n, m)
+    if CK is None:
+        CK = 256 if traceback else 512
     CK = _ceil_to(CK, 4)
     import os as _os
 

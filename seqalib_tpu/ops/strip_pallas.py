@@ -1703,6 +1703,18 @@ def _strip_local_fused(
             **kw,
         )
         score2, ri, rj = _reduce_best_jnp(r2["bv"], r2["bk"], mq + 1)
+        if tie_safe:
+            # class-(b) closure for the STRIP engine (round 5): a
+            # beyond-clamp co-optimal tie can only exist when the column
+            # window was actually truncated (te > TWD) — the strip engine
+            # has no banded-edge EV accumulator, so the sound move is to
+            # escalate every clamped pair to the oracle-exact host rescan
+            # (the banded engine needs no such rule: any beyond-clamp
+            # cell there has d > BW, so every path to it crosses the
+            # EV-tracked band edge — see the round-5 BASELINE note)
+            score2 = jnp.where(
+                (te > TWD) & (score2 == score), score - 1, score2
+            )
     pos = score > 0
     qs = jnp.where(pos, qe - ri, 0)
     ts = jnp.where(pos, te - rj, 0)

@@ -34,8 +34,15 @@ def make_pair_mesh(devices=None) -> Mesh:
 
 
 def _out_specs_like(fn, args):
-    """P('pairs', None, ...) for every output leaf (all are batch-major)."""
-    shapes = jax.eval_shape(fn, *args)
+    """P('pairs', None, ...) for every output leaf (all are batch-major).
+
+    eval_shape runs on bare ShapeDtypeStructs: multi-process feeding
+    commits args to a NamedSharding over an Explicit-axis mesh, and an
+    aval carrying `@pairs` aborts inside the un-shard_mapped pallas_call
+    trace ("requires all mesh axes to be Manual")."""
+    shapes = jax.eval_shape(
+        fn, *[jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
+    )
     return jax.tree.map(
         lambda s: P(PAIR_AXIS, *([None] * (len(s.shape) - 1))), shapes
     )
@@ -226,13 +233,36 @@ def strip_sharded(
             _strip_local_fused, **kwc, BSUB=BSUB, interpret=interpret,
             WR=_fwr(), **fused_pass2_knobs(interpret),
         )
-    args = (
-        jnp.asarray(qpad),
-        jnp.asarray(t2),
-        jnp.asarray(qlen),
-        jnp.asarray(tlen),
-        jnp.asarray(table_h),
-    )
+    if jax.process_count() > 1:
+        # per-process feeding (SURVEY.md §3.2-1; exercised by
+        # tests/test_multihost.py on a 2-process CPU mesh): a plain
+        # numpy arg cannot be auto-committed to a mesh with
+        # non-addressable devices, so each process materializes only its
+        # OWN shards of the global array.  Every process holds the full
+        # host copy here; a production feeder would hand each process
+        # just its slice via the same callback.
+        def _feed(x, spec):
+            x = np.asarray(x)
+            sh = jax.NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(
+                x.shape, sh, lambda idx: x[idx]
+            )
+
+        args = (
+            _feed(qpad, P(PAIR_AXIS)),
+            _feed(t2, P(PAIR_AXIS)),
+            _feed(qlen, P(PAIR_AXIS)),
+            _feed(tlen, P(PAIR_AXIS)),
+            _feed(table_h, P(None, None)),
+        )
+    else:
+        args = (
+            jnp.asarray(qpad),
+            jnp.asarray(t2),
+            jnp.asarray(qlen),
+            jnp.asarray(tlen),
+            jnp.asarray(table_h),
+        )
 
     def build():
         in_specs = (

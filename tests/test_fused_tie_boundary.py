@@ -148,3 +148,83 @@ def test_tie_safe_keeps_clean_pairs_exact(monkeypatch):
             o.query_start,
             o.target_start,
         ), b
+
+
+# ---- exposure class (b): ties beyond the column clamp (round 5) ---------
+#
+# Construction (reversed space; matrix diag X=Z=+11, Y=+4, else -4,
+# linear gap -1; 12-letter table so the PROFILE path runs — an A1<=8
+# table silently takes the scalar match/mismatch route):
+#
+#   rq = [X*28][Z*28][junk*28][Y*40]                      (124 rows)
+#   rt = [X*28][Y*40][junk][Z*28 @232..259]               (260 cols)
+#
+# Two extension paths tie at 412:
+#   P1 (canonical, ri=56):  X-block, 204 D, Z-block -> cell (56, 260)
+#      — rj = 260 lies beyond BOTH engines' column clamps at this
+#      geometry (banded WR+BW = 192; strip TWD = 256), and beyond the
+#      banded slot window (d = 204 > BW);
+#   P2 (ri=124, in-window): X-block, 56 I, Y-block -> cell (124, 68).
+# The distinct Z suffix block pins P1's prefix to rows 0-27 (an X
+# suffix let the prefix slide and moved the forward END off the anchor).
+
+
+def _tie_problem_b():
+    X, Z, Y, JQ, JT = 0, 1, 2, 3, 4
+    rq = np.full(124, JQ, np.uint8)
+    rq[0:28] = X
+    rq[28:56] = Z
+    rq[84:124] = Y
+    rt = np.full(260, JT, np.uint8)
+    rt[0:28] = X
+    rt[28:68] = Y
+    rt[232:260] = Z
+    q = rq[::-1].copy()
+    t = rt[::-1].copy()
+    mat = np.full((12, 12), -4, np.int32)
+    mat[X, X] = 11
+    mat[Z, Z] = 11
+    mat[Y, Y] = 4
+    sp = ScoringParams(gap_open=0, gap_extend=-1, matrix=mat)
+    return q, t, sp
+
+
+def test_oracle_class_b_tie_is_as_constructed():
+    q, t, sp = _tie_problem_b()
+    o = align_oracle(q, t, sp, mode="local")
+    assert (o.score, o.query_start, o.query_end, o.target_start, o.target_end) == (
+        412, 68, 124, 0, 260
+    )
+    assert o.cigar == "28M204D28M"
+
+
+@pytest.mark.parametrize("engine", ["banded", "strip"])
+def test_class_b_exposure_is_pinned_without_tie_safe(engine, monkeypatch):
+    """Default mode: neither engine can see the canonical cell (rj=260 >
+    clamp), the in-window tie has no score shortfall, so both return the
+    non-canonical start silently — the documented class-(b) exposure.
+    If this fails with qs == 68, the exposure was closed by default —
+    move the assertion, don't delete the test."""
+    q, t, sp = _tie_problem_b()
+    out = _run(q, t, sp, engine, monkeypatch)
+    assert int(out["score"][0]) == 412
+    assert (int(out["qe"][0]), int(out["te"][0])) == (124, 260)
+    assert (int(out["qs"][0]), int(out["ts"][0])) == (0, 192)
+
+
+@pytest.mark.parametrize("engine", ["banded", "strip"])
+def test_tie_safe_closes_class_b(engine, monkeypatch):
+    """tie_safe closes class (b) on BOTH engines (round 5):
+
+    - banded: any beyond-clamp cell has rj > WR+BW with ri <= WR, hence
+      d > BW — every path to it crosses the EV-tracked band edge via a
+      D step in gap state, so the round-4 edge bound already covers (b);
+      no new mechanism needed (this test is the empirical confirmation);
+    - strip: no EV accumulator exists, but (b) can only fire when the
+      column window was truncated (te > TWD) — tie_safe now escalates
+      exactly those pairs to the oracle-exact host rescan."""
+    q, t, sp = _tie_problem_b()
+    monkeypatch.setenv("SEQALIB_FUSED_TIE_SAFE", "1")
+    out = _run(q, t, sp, engine, monkeypatch)
+    assert int(out["score"][0]) == 412
+    assert (int(out["qs"][0]), int(out["ts"][0])) == (68, 0)
