@@ -1120,17 +1120,57 @@ def strip_bucket(
     )
     kwc = dict(kwc, BSUB=BSUB, interpret=interpret)
     need_starts = (want_starts or want_tb) and not gmode
+    fused_tb = False
     if need_starts:
+        if want_tb and _dev_walk_enabled(interpret) and B % 32 == 0:
+            # HBM guard for the in-program pass-3 pointer stream (same
+            # budget as the gmode chunking above); oversized batches
+            # keep the two-phase host-windowed path, which sizes its
+            # windows to the spans
+            cap_bytes = int(
+                float(
+                    _os.environ.get("SEQALIB_PTR_HBM_CAP", str(2 * 1024**3))
+                )
+            )
+            per_pair = n_pad * (t2.shape[1] - LANES)
+            fused_tb = B * per_pair <= cap_bytes
         # resolve the window HERE, not inside the jitted body: WR is a
         # static cache key, and an env-read at trace time with WR=None in
         # the key would silently reuse a stale compile after the env
         # changes within one process
-        res = _strip_local_fused(
+        fused_fn = _strip_local_fused_tb if fused_tb else _strip_local_fused
+        res = fused_fn(
             *dev_args,
             WR=fused_wr(),
             **fused_pass2_knobs(interpret),
             **kwc,
         )
+        if fused_tb:
+            # two fetches total (meta + packed ops): each device->host
+            # buffer fetch costs a ~30ms round trip on the remote link
+            meta = np.asarray(res["meta"])
+            ops_p = np.asarray(res["ops_p"])
+            u = np.stack(
+                [
+                    (ops_p >> 6) & 3,
+                    (ops_p >> 4) & 3,
+                    (ops_p >> 2) & 3,
+                    ops_p & 3,
+                ],
+                axis=2,
+            ).reshape(ops_p.shape[0], -1)
+            res = {
+                "score": meta[0],
+                "qe": meta[1],
+                "te": meta[2],
+                "qs": meta[3],
+                "ts": meta[4],
+                "score2": meta[5],
+                "score_w": meta[6],
+                "ifin": meta[7],
+                "jfin": meta[8],
+                "ops": np.where(u == 3, 255, u).astype(np.uint8),
+            }
     else:
         res = _strip_fill(*dev_args, want_ptr=want_tb and gmode, gmode=gmode, **kwc)
         bv = np.asarray(res["bv"]).astype(np.int32)  # (B, 128)
@@ -1203,10 +1243,36 @@ def strip_bucket(
     if not want_tb:
         return {k: v[:B0] for k, v in out.items()}
 
-    cigars = window_global_cigars(
-        q, t, score, qs, qe, ts, te, table_h,
-        gap_open=gap_open, gap_extend=gap_extend, affine=affine, BSUB=BSUB,
-    )
+    if fused_tb:
+        # single-program path: ops walked on device; validate the
+        # window-global score (the same invariant window_global_cigars
+        # asserts) on the non-escalated pairs, then assemble
+        ok = ~fail & (score > 0)
+        score_w = res["score_w"].astype(np.int32)
+        assert np.array_equal(score_w[ok], score[ok]), (
+            "window-global score must equal the local score"
+        )
+        cigars = _cigars_from_ops(res["ops"], res["ifin"], res["jfin"])
+        for b in range(len(cigars)):
+            if score[b] <= 0:
+                cigars[b] = ""
+        if fail.any():
+            # escalated pairs were windowed from pre-escalation starts;
+            # rebuild exactly those on the host-windowed path
+            idx = np.nonzero(fail)[0]
+            fixed = window_global_cigars(
+                q[idx], t[idx], score[idx], qs[idx], qe[idx], ts[idx],
+                te[idx], table_h,
+                gap_open=gap_open, gap_extend=gap_extend, affine=affine,
+            )
+            for r, b in enumerate(idx):
+                cigars[b] = fixed[r]
+    else:
+        cigars = window_global_cigars(
+            q, t, score, qs, qe, ts, te, table_h,
+            gap_open=gap_open, gap_extend=gap_extend, affine=affine,
+            BSUB=BSUB,
+        )
     res2 = {k: v[:B0] for k, v in out.items()}
     res2["cigars"] = cigars[:B0]
     return res2
@@ -2202,3 +2268,157 @@ def strip_fill_walk_global(qpad, t2, qlen, tlen, table, *, BSUB, interpret,
         interpret=interpret,
     )
     return {"bv": res["bv"], "ops": ops, "ifin": ifin, "jfin": jfin}
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "BSUB",
+        "mq",
+        "match",
+        "mismatch",
+        "gap_open",
+        "gap_extend",
+        "affine",
+        "profile",
+        "packed",
+        "A1",
+        "dt16",
+        "interpret",
+        "WR",
+        "pass2",
+        "bw",
+        "nsub",
+        "split",
+        "tie_safe",
+        "pc2",
+    ),
+)
+def _strip_local_fused_tb(
+    qpad,
+    t2,
+    qlen,
+    tlen,
+    table,
+    *,
+    BSUB,
+    mq,
+    match,
+    mismatch,
+    gap_open,
+    gap_extend,
+    affine,
+    profile,
+    packed,
+    A1,
+    dt16,
+    interpret,
+    WR=None,
+    pass2="banded",
+    bw=64,
+    nsub=None,
+    split=None,
+    tie_safe=False,
+    pc2=128,
+):
+    """ONE-program local full-CIGAR path (round 5): fused two-pass
+    coords + DEVICE window extraction + pass-3 global fill + device
+    traceback walk, all in a single jit — the host syncs exactly once
+    and receives coords + a (B, S*K) int8 op matrix.
+
+    The previous flow needed two device round trips (fetch coords ->
+    build [qs:qe]x[ts:te] windows on host -> ship them -> pass-3 launch
+    -> fetch), which dominated the align_batch full-CIGAR wall on the
+    remote link.  Here the windows are extracted on-device with
+    _row_window at the STATIC pass-1 shapes (n_pad x W2) — a window is a
+    left-anchored slice of the pair padded with sentinels, so the pass-3
+    fill/walk geometry is identical to pass 1's and costs one extra
+    fill.  Escalated pairs (score2 != score) get wrong windows here by
+    construction; the caller rebuilds exactly those CIGARs on the host
+    path after fixing their starts.  ``score_w`` returns the
+    window-global score for the caller's equality validation
+    (window_global_cigars' assert, preserved at the host boundary)."""
+    res = _strip_local_fused(
+        qpad, t2, qlen, tlen, table,
+        BSUB=BSUB, mq=mq, match=match, mismatch=mismatch,
+        gap_open=gap_open, gap_extend=gap_extend, affine=affine,
+        profile=profile, packed=packed, A1=A1, dt16=dt16,
+        interpret=interpret, WR=WR, pass2=pass2, bw=bw, nsub=nsub,
+        split=split, tie_safe=tie_safe, pc2=pc2,
+    )
+    B, n_pad = qpad.shape
+    W2 = t2.shape[1]
+    SENT_Q, SENT_T = A1, A1 + 1
+    score = res["score"]
+    live = score > 0
+    wq = jnp.where(live, res["qe"] - res["qs"], 0).astype(jnp.int32)
+    wt = jnp.where(live, res["te"] - res["ts"], 0).astype(jnp.int32)
+    qs_ = jnp.where(live, res["qs"], 0).astype(jnp.int32)
+    ts_ = jnp.where(live, res["ts"], 0).astype(jnp.int32)
+    # sentinel tails keep every aligned superset load in bounds
+    # (_row_window contract: starts + L + LANES <= width)
+    qsrc = jnp.concatenate(
+        [
+            qpad.astype(jnp.int32),
+            jnp.full((B, n_pad + LANES), SENT_Q, jnp.int32),
+        ],
+        axis=1,
+    )
+    tsrc = jnp.concatenate(
+        [
+            t2.astype(jnp.int32),
+            jnp.full((B, W2 + LANES), SENT_T, jnp.int32),
+        ],
+        axis=1,
+    )
+    qw = _row_window(
+        qsrc, qs_, wq, L=n_pad, lo=0, fill=SENT_Q, interpret=interpret
+    )
+    # t2[b, j] = t[b, j-1]: window column x maps to t[ts + x - 1] =
+    # t2[ts + x], with the 1-based x = 0 slot (and x > wt) sentinel
+    tw = _row_window(
+        tsrc, ts_, wt + 1, L=W2, lo=1, fill=SENT_T, interpret=interpret
+    )
+    BSUB_tb = max(BSUB, 32)
+    r3 = _strip_fill(
+        qw, tw, wq, wt, table,
+        BSUB=BSUB_tb, mq=mq, match=match, mismatch=mismatch,
+        gap_open=gap_open, gap_extend=gap_extend, affine=affine,
+        profile=profile, packed=packed, A1=A1, dt16=dt16,
+        interpret=interpret, want_ptr=True, gmode=True,
+    )
+    # window-global score capture at H(wq, wt) (cf. _global_post)
+    bv = r3["bv"].astype(jnp.int32)
+    score_w = jnp.take_along_axis(
+        bv, ((jnp.maximum(wq, 1) - 1) % TI)[:, None], axis=1
+    )[:, 0]
+    deg = (wq == 0) | (wt == 0)
+    S = n_pad // TI
+    K = ((W2 - LANES) // LANES) * LANES
+    ops, ifin, jfin, _, _ = strip_walk_range(
+        r3["P"], wq, wt, jnp.zeros_like(wq), deg.astype(jnp.int32),
+        S=S, K=K, BSUB=BSUB_tb, affine=bool(affine), interpret=interpret,
+    )
+    # fetch-economy packing (the remote link charges ~30ms PER buffer
+    # fetch): all (B,) results ride ONE (9, B) int32 array, and the op
+    # matrix packs 4 ops/byte (op codes are 2 bits; 255 -> 3 = none)
+    meta = jnp.stack(
+        [
+            res["score"].astype(jnp.int32),
+            res["qe"].astype(jnp.int32),
+            res["te"].astype(jnp.int32),
+            res["qs"].astype(jnp.int32),
+            res["ts"].astype(jnp.int32),
+            res["score2"].astype(jnp.int32),
+            score_w,
+            ifin,
+            jfin,
+        ]
+    )
+    o4 = jnp.minimum(ops.astype(jnp.int32) & 0xFF, 3).reshape(
+        ops.shape[0], -1, 4
+    )
+    ops_p = (
+        (o4[:, :, 0] << 6) | (o4[:, :, 1] << 4) | (o4[:, :, 2] << 2)
+        | o4[:, :, 3]
+    ).astype(jnp.uint8)
+    return {"meta": meta, "ops_p": ops_p}
