@@ -1249,9 +1249,12 @@ def strip_bucket(
         # asserts) on the non-escalated pairs, then assemble
         ok = ~fail & (score > 0)
         score_w = res["score_w"].astype(np.int32)
-        assert np.array_equal(score_w[ok], score[ok]), (
-            "window-global score must equal the local score"
-        )
+        if not np.array_equal(score_w[ok], score[ok]):
+            # not an assert: this is the one-program path's correctness
+            # gate and must survive python -O
+            raise RuntimeError(
+                "window-global score must equal the local score"
+            )
         cigars = _cigars_from_ops(res["ops"], res["ifin"], res["jfin"])
         for b in range(len(cigars)):
             if score[b] <= 0:
@@ -2041,9 +2044,15 @@ def strip_walk_range(P, iv, jv, stv, donev, *, S, K, BSUB, affine,
     start->end path order — plus i'/j'/st'/done' (B,) int32).
     """
     ST_H, ST_E, ST_F = 0, 1, 2
-    B = iv.shape[0]
-    GB = B // BSUB
+    BT = iv.shape[0]
+    GB = BT // BSUB
     assert K % LANES == 0, K
+    # batch chunking: the walker state/scratch/ops blocks all scale with
+    # B and live in VMEM, so one launch serves at most BCAP pairs; the
+    # HBM guards upstream bound only the pointer stream (a 4096-pair
+    # short-read batch used to blow scoped vmem here)
+    BCAP = 512
+    B = min(BT, BCAP)
     # block cap ~1MB keeps the double-buffered pointer window modest
     WSTEP = next(
         w for w in (16, 8, 4, 2, 1)
@@ -2135,54 +2144,77 @@ def strip_walk_range(P, iv, jv, stv, donev, *, S, K, BSUB, affine,
             st_out_ref[2] = s_st[:]
             st_out_ref[3] = s_dn[:]
 
-    # (GB, S, K, BSUB, TI) -> (S, K, B, TI): one device transpose (~2x P
+    # (GB, S, K, BSUB, TI) -> (S, K, BT, TI): one device transpose (~2x P
     # in HBM traffic, transient) buys a GB-free kernel block layout
     P5 = P.reshape(GB, S, K, BSUB, TI).transpose(1, 2, 0, 3, 4)
-    P4 = P5.reshape(S, K, B, TI)
-    st_in = jnp.stack(
+    P4 = P5.reshape(S, K, BT, TI)
+    st_in_all = jnp.stack(
         [
-            jnp.broadcast_to(x[:, None].astype(jnp.int32), (B, LANES))
+            jnp.broadcast_to(x[:, None].astype(jnp.int32), (BT, LANES))
             for x in (iv, jv, stv, donev)
         ]
     )
-    ops, st_out = pl.pallas_call(
-        kern,
-        grid=(S, NG),
-        in_specs=[
-            pl.BlockSpec(
-                (1, WSTEP, B, TI),
-                lambda sg, g: (S - 1 - sg, NG - 1 - g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (4, B, LANES), lambda sg, g: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (B, LANES),
-                lambda sg, g: (
-                    0,
-                    (S - 1 - sg) * KC + (K - 1 - g * WSTEP) // LANES,
+
+    def launch(P4c, st_in):
+        return pl.pallas_call(
+            kern,
+            grid=(S, NG),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, WSTEP, B, TI),
+                    lambda sg, g: (S - 1 - sg, NG - 1 - g, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
-                memory_space=pltpu.VMEM,
+                pl.BlockSpec(
+                    (4, B, LANES), lambda sg, g: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (B, LANES),
+                    lambda sg, g: (
+                        0,
+                        (S - 1 - sg) * KC + (K - 1 - g * WSTEP) // LANES,
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (4, B, LANES), lambda sg, g: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, S * K), jnp.int32),
+                jax.ShapeDtypeStruct((4, B, LANES), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((B, LANES), jnp.int32)] * 4,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")
             ),
-            pl.BlockSpec(
-                (4, B, LANES), lambda sg, g: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, S * K), jnp.int32),
-            jax.ShapeDtypeStruct((4, B, LANES), jnp.int32),
-        ],
-        scratch_shapes=[pltpu.VMEM((B, LANES), jnp.int32)] * 4,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")
-        ),
-    )(P4, st_in)
+        )(P4c, st_in)
+
+    if BT <= BCAP:
+        ops, st_out = launch(P4, st_in_all)
+    else:
+        # pad the tail chunk to the full BCAP (padded walkers start
+        # done), so every chunk reuses ONE compiled program
+        parts = []
+        for lo in range(0, BT, BCAP):
+            hi = min(lo + BCAP, BT)
+            P4c = P4[:, :, lo:hi]
+            stc = st_in_all[:, lo:hi]
+            if hi - lo < BCAP:
+                padn = BCAP - (hi - lo)
+                P4c = jnp.pad(P4c, ((0, 0), (0, 0), (0, padn), (0, 0)))
+                stc = jnp.pad(
+                    stc, ((0, 0), (0, padn), (0, 0)),
+                    constant_values=1,  # done=1; i/j/st values are inert
+                )
+            parts.append(launch(P4c, stc))
+        ops = jnp.concatenate([o for o, _ in parts], axis=0)[:BT]
+        st_out = jnp.concatenate([t for _, t in parts], axis=1)[:, :BT]
     return (
         ops.astype(jnp.int8),
         st_out[0, :, 0],
@@ -2210,8 +2242,6 @@ def strip_walk_dev(P, qlen, tlen, done0, *, affine, BSUB, S, NB, interpret):
 
     Returns (cigars, start_i, start_j) — _strip_walk's contract.
     """
-    from ..utils.cigar import ops_to_cigar
-
     B = len(qlen)
     K = NB * LANES
     iv = jnp.asarray(qlen, jnp.int32)

@@ -461,10 +461,14 @@ def banded_nw_affine_score_sp(
 
 
 def _walk_body(qg, tg, bnds, qlen_g, tlen_g, dlo_pg, dhi_pg, pkt0,
-               pgq=None, *, geom, gi, d_start, axis=BAND_AXIS):
+               gi_arr, pgq=None, *, geom, d_start, axis=BAND_AXIS):
     """Per-device shard_map body of the SP traceback walk for pair-group
-    ``gi`` (round 5: VERDICT round-4 items 4a/4c + ADVICE 2/3 — batched,
-    device-threaded, runs where the letters live).
+    ``gi_arr[0]`` (round 5: VERDICT round-4 items 4a/4c + ADVICE 2/3 —
+    batched, device-threaded, runs where the letters live).  The group
+    index is a RUNTIME scalar so one compiled program serves every group
+    of a batched align (a static gi recompiled the whole fill+walk per
+    group).  Pointers pack two diagonals per byte (pack_ptr), halving
+    the materialized block.
 
     Phase 1 (all devices IN PARALLEL, no serialization): each device
     refills its OWN row block from its locally captured boundary
@@ -501,12 +505,14 @@ def _walk_body(qg, tg, bnds, qlen_g, tlen_g, dlo_pg, dhi_pg, pkt0,
         gap_open=g["o"], gap_extend=g["e"], CK=CK,
         interpret=g["interpret"], profile=g["profile"], nsub=g["nsub"],
     )
-    qkb = pgq[gi] if g["profile"] else qg[gi]
-    tkb = tg[gi]
-    qlen_l = qlen_g[gi] - d * R
-    tlen_l = tlen_g[gi] - d * R - g["dlo_g"]
-    dlo_l = dlo_pg[gi] - g["dlo_g"]
-    dhi_lv = dhi_pg[gi] - g["dlo_g"]
+    gi = gi_arr[0]
+    idx = lambda a: jax.lax.dynamic_index_in_dim(a, gi, 0, keepdims=False)
+    qkb = idx(pgq) if g["profile"] else idx(qg)
+    tkb = idx(tg)
+    qlen_l = idx(qlen_g) - d * R
+    tlen_l = idx(tlen_g) - d * R - g["dlo_g"]
+    dlo_l = idx(dlo_pg) - g["dlo_g"]
+    dhi_lv = idx(dhi_pg) - g["dlo_g"]
     # device d consumed group gi's boundary at super-step gi + d
     bstep = jax.lax.dynamic_index_in_dim(
         bnds_l, gi + d, axis=0, keepdims=False
@@ -519,7 +525,8 @@ def _walk_body(qg, tg, bnds, qlen_g, tlen_g, dlo_pg, dhi_pg, pkt0,
         _, st_r, _, ptr_r = band_fill_range(
             qkb, tkb, qlen_l, tlen_l, dlo_l, dhi_lv, st_r, sc0,
             k_start=k0r, k_end=k1r, want_ptr=True, want_ckpt=False,
-            phase=ph, want_score=False, bh=bh, bf=bf, **fillkw,
+            phase=ph, want_score=False, bh=bh, bf=bf, pack_ptr=True,
+            **fillkw,
         )
         ptr_parts.append(ptr_r)
     ptrs = (
@@ -541,7 +548,7 @@ def _walk_body(qg, tg, bnds, qlen_g, tlen_g, dlo_pg, dhi_pg, pkt0,
                 ptrs, i0 - d * R, j0 - d * R, stv,
                 jnp.where(partic, 0, 1), 0,
                 KW=Kp, dhi=dhi_l, Wp=Wp, B=GB,
-                interpret=g["interpret"], i_floor=0,
+                interpret=g["interpret"], i_floor=0, packed=True,
             )
             i0n = jnp.where(partic, il + d * R, i0)
             j0n = jnp.where(partic, jl + d * R, j0)
@@ -626,7 +633,7 @@ def banded_nw_affine_align_sp(
             CK, nsub,
         )
         g = geom
-        ptr_bytes = g["Kp"] * GB * g["Wp"]
+        ptr_bytes = g["Kp"] * GB * g["Wp"] // 2  # pack_ptr: 2 diagonals/byte
         cap = int(_os.environ.get(
             "SEQALIB_SP_PTR_CAP", str(2 * 1024**3)
         ))
@@ -640,8 +647,14 @@ def banded_nw_affine_align_sp(
         scores_h = np.asarray(scores).reshape(-1)
         R, dlo_g = g["R"], g["dlo_g"]
         qlen, tlen = arrays["qlen_g"], arrays["tlen_g"]  # (NG, GB)
+        # ONE walk program serves every group: d_start is the batch max
+        # (groups whose owner block is lower simply have no participants
+        # during the early steps), gi rides as a runtime scalar, and the
+        # halo'd letter stacks upload once
+        d_start = int((qlen.max() - 1) // R)
+        walk_args = _sp_walk_args(geom, arrays, bnds)
+        launched = []
         for gi in range(g["NG"]):
-            d_start = int((qlen[gi].max() - 1) // R)
             # walker packet: [global row, col - dlo_g, gap state, done]
             dn0 = (qlen[gi] == 0).astype(np.int32)  # pad slots start done
             pkt0 = jnp.asarray(np.stack([
@@ -650,9 +663,11 @@ def banded_nw_affine_align_sp(
                 np.zeros(GB, np.int32),
                 dn0,
             ]))
-            opsm, fin, viol = _sp_walk(
-                geom, arrays, mesh, bnds, pkt0, gi=gi, d_start=d_start
+            launched.append(
+                _sp_walk(geom, mesh, walk_args, pkt0, gi=gi,
+                         d_start=d_start)
             )
+        for gi, (opsm, fin, viol) in enumerate(launched):
             opsm_h = np.asarray(opsm).view(np.uint8)  # (D, GB, KWp)
             fin0 = np.asarray(fin)[0]  # (4, GB) from device 0
             if int(np.asarray(viol)) != 0:
@@ -691,9 +706,10 @@ def banded_nw_affine_align_sp(
     return results[0] if single else results
 
 
-def _sp_walk(geom, arrays, mesh, bnds, pkt0, *, gi, d_start):
-    """Cached jit(shard_map) launch of _walk_body (same caching rationale
-    as _sp_relay)."""
+def _sp_walk_args(geom, arrays, bnds):
+    """Device-upload the walk program's group-invariant inputs ONCE per
+    align call (the halo'd letter stacks were re-built and re-shipped per
+    group before; the remote link charges per buffer)."""
     qg_d, tg_d, pgq_d = _halo_slices(geom, arrays)
     args = [
         jnp.asarray(qg_d),
@@ -703,17 +719,21 @@ def _sp_walk(geom, arrays, mesh, bnds, pkt0, *, gi, d_start):
         jnp.asarray(arrays["tlen_g"].astype(np.int32)),
         jnp.asarray(arrays["dlo_pg"]),
         jnp.asarray(arrays["dhi_pg"]),
-        pkt0,
     ]
     if geom["profile"]:
         args.append(jnp.asarray(pgq_d))
-    key = ("walk", mesh, gi, d_start, _geom_key(geom))
+    return args
+
+
+def _sp_walk(geom, mesh, walk_args, pkt0, *, gi, d_start):
+    """Cached jit(shard_map) launch of _walk_body (same caching rationale
+    as _sp_relay); ``gi`` is a runtime operand, so ONE compile serves all
+    groups of a batched align."""
+    key = ("walk", mesh, d_start, _geom_key(geom))
     fn = _SP_JIT_CACHE.get(key)
     if fn is None:
-        body = functools.partial(
-            _walk_body, geom=geom, gi=gi, d_start=d_start
-        )
-        in_specs = (P(BAND_AXIS), P(BAND_AXIS), P(BAND_AXIS)) + (P(),) * 5
+        body = functools.partial(_walk_body, geom=geom, d_start=d_start)
+        in_specs = (P(BAND_AXIS), P(BAND_AXIS), P(BAND_AXIS)) + (P(),) * 6
         if geom["profile"]:
             in_specs = in_specs + (P(BAND_AXIS),)
         fn = jax.jit(
@@ -726,4 +746,5 @@ def _sp_walk(geom, arrays, mesh, bnds, pkt0, *, gi, d_start):
             )
         )
         _SP_JIT_CACHE[key] = fn
-    return fn(*args)
+    pre, post = walk_args[:7], walk_args[7:]
+    return fn(*pre, pkt0, jnp.asarray([gi], jnp.int32), *post)

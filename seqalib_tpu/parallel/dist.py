@@ -165,7 +165,6 @@ def strip_sharded(
         SUBLANES,
         _ceil_to,
         _prep_strip,
-        _strip_local_fused,
     )
 
     if mode not in ("local", "global"):
@@ -230,7 +229,7 @@ def strip_sharded(
             )
     else:
         fn = _ft.partial(
-            _strip_local_fused, **kwc, BSUB=BSUB, interpret=interpret,
+            _fused_meta, **kwc, BSUB=BSUB, interpret=interpret,
             WR=_fwr(), **fused_pass2_knobs(interpret),
         )
     if jax.process_count() > 1:
@@ -269,7 +268,13 @@ def strip_sharded(
             P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS), P(PAIR_AXIS),
             P(None, None),
         )
-        out_specs = _out_specs_like(fn, args)
+        # the fused local path packs its six (B,) outputs into ONE
+        # (6, B) array (a gather round trip per BUFFER costs ~30ms on
+        # the remote link, and fine-grained buckets multiplied the
+        # per-chunk buffer count); everything else is batch-major
+        out_specs = (
+            P(None, PAIR_AXIS) if not gmode else _out_specs_like(fn, args)
+        )
         sharded = jax.shard_map(
             fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
@@ -297,12 +302,34 @@ def strip_sharded(
     return fin()
 
 
+_FUSED_META_KEYS = ("score", "qe", "te", "qs", "ts", "score2")
+
+
+def _fused_meta(qpad, t2, qlen, tlen, table, **kw):
+    """_strip_local_fused with its six (B,) outputs stacked into one
+    (6, B) int32 array — one gathered buffer instead of six."""
+    import jax.numpy as jnp
+
+    from ..ops.strip_pallas import _strip_local_fused
+
+    r = _strip_local_fused(qpad, t2, qlen, tlen, table, **kw)
+    return jnp.stack(
+        [r[k].astype(jnp.int32) for k in _FUSED_META_KEYS]
+    )
+
+
 def _strip_finalize(res_dev, *, gmode, affine, gap_open, gap_extend,
                     want_tb, BSUB, B0, n_pad, NB, q, t, qlen, tlen,
                     table_h, interpret):
     """Sync point of a strip_sharded launch: gather + escalation +
     host-side assembly (pointer walk / window traceback)."""
     res = gather_to_host(res_dev)
+    if not gmode:
+        # unpack the (6, B) fused meta array (see strip_sharded.build)
+        res = {
+            k: res[i]
+            for i, k in enumerate(_FUSED_META_KEYS)
+        }
     if gmode:
         from ..ops.strip_pallas import _global_post
 

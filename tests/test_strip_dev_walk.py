@@ -122,3 +122,28 @@ def test_local_single_program_fused_tb(monkeypatch):
     )
     _assert_same(ref, dev)
     assert dev["cigars"][5] == "300M"  # the escalated pair, rebuilt
+
+
+def test_global_dev_walk_large_batch_chunked(monkeypatch):
+    """strip_walk_range chunks batches past BCAP=512 (its walker state /
+    ops / scratch blocks scale with B in VMEM — a 4096-pair short-read
+    batch used to blow scoped vmem).  B=544 exercises the padded tail
+    chunk against the host engine."""
+    rng = np.random.default_rng(21)
+    sp = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    table = sentinel_table(sp)
+    B, L = 544, 40
+    q = rng.integers(0, 4, size=(B, L)).astype(np.int32)
+    t = rng.integers(0, 4, size=(B, L)).astype(np.int32)
+    qlen = rng.integers(1, L + 1, size=B).astype(np.int64)
+    tlen = rng.integers(1, L + 1, size=B).astype(np.int64)
+
+    ref, dev = _both_engines(
+        monkeypatch,
+        lambda: strip_bucket(
+            q, t, qlen, tlen, table, mode="global",
+            gap_open=sp.gap_open, gap_extend=sp.gap_extend,
+            affine=True, want_tb=True,
+        ),
+    )
+    _assert_same(ref, dev)
