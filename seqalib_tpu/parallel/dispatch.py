@@ -11,6 +11,7 @@ unpermute to input order.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -37,6 +38,14 @@ def bucket_len(n: int) -> int:
     round-4 item 2; measured rates in BASELINE.md round 5)."""
     if n <= 128:
         b = MIN_BUCKET
+        while b < n:
+            b <<= 1
+        return b
+    if os.environ.get("SEQALIB_BUCKET_POLICY", "ceil128") == "pow2":
+        # measurement override: coarser buckets = fewer per-chunk
+        # launches/gathers — can win on a link-bound remote setup even
+        # though ceil128 wins device-side (BASELINE.md round 5)
+        b = 128
         while b < n:
             b <<= 1
         return b
@@ -237,6 +246,12 @@ def dispatch_batch(
         buckets.setdefault(key, []).append(idx)
 
     results: List[Optional[AlignResult]] = [None] * n_pairs
+    # two-phase: LAUNCH every bucket before finalizing any — a chunk of
+    # the all-vs-all product spans up to ~10 (Lq, Lt) buckets under the
+    # 128-step policy, and a synchronous gather per bucket serialized
+    # ~10 device round trips per chunk (round 5; the launch_only
+    # machinery pipelines the buckets through XLA's async dispatch)
+    pending = []
     for (Lq, Lt), idxs in sorted(buckets.items()):
         B = len(idxs)
         Bp = max(B, 1)
@@ -250,9 +265,13 @@ def dispatch_batch(
         tb = _pad_stack([ts[i] for i in idxs] + zpad, Lt)
         qlen = np.array([len(qs[i]) for i in idxs] + [0] * (Bp - B), np.int32)
         tlen = np.array([len(ts[i]) for i in idxs] + [0] * (Bp - B), np.int32)
-        out = run_bucket(
-            qb, tb, qlen, tlen, sp, mode, band, backend, traceback, mesh=mesh
+        fin = run_bucket(
+            qb, tb, qlen, tlen, sp, mode, band, backend, traceback,
+            mesh=mesh, launch_only=True,
         )
+        pending.append((idxs, fin))
+    for idxs, fin in pending:
+        out = fin()
         for r, idx in enumerate(idxs):
             if not traceback:
                 cigar = ""
