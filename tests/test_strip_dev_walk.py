@@ -92,19 +92,26 @@ def test_local_pass3_dev_walk_matches_host(monkeypatch, affine):
     _assert_same(ref, dev)
 
 
-def test_local_single_program_fused_tb(monkeypatch):
+@pytest.mark.parametrize("protein", [False, True])
+def test_local_single_program_fused_tb(monkeypatch, protein):
     """The round-5 ONE-program full-CIGAR path (_strip_local_fused_tb:
     coords + device window extraction + pass-3 fill + device walk in a
     single jit) engages at B % 32 == 0 under the dev-walk engine; its
     results must be bit-identical to the two-phase host-windowed path,
     INCLUDING pairs that escalate past the fused row window (those are
-    re-windowed host-side after _reverse_starts fixes their starts)."""
+    re-windowed host-side after _reverse_starts fixes their starts).
+    Both scoring modes: DNA scalar and BLOSUM62 packed profile."""
     rng = np.random.default_rng(13)
-    sp = ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    sp = (
+        ScoringParams.blosum62()
+        if protein
+        else ScoringParams(match=2, mismatch=-3, gap_open=-5, gap_extend=-2)
+    )
+    alpha = 20 if protein else 4
     table = sentinel_table(sp)
     B, L = 32, 300
-    q = rng.integers(0, 4, size=(B, L)).astype(np.int32)
-    t = rng.integers(0, 4, size=(B, L)).astype(np.int32)
+    q = rng.integers(0, alpha, size=(B, L)).astype(np.int32)
+    t = rng.integers(0, alpha, size=(B, L)).astype(np.int32)
     t[:, 40:120] = q[:, 60:140]
     # pair 5: identical sequences -> span 300 > WR=128 -> escalation
     t[5] = q[5]
