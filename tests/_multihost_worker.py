@@ -60,4 +60,16 @@ for mode in ("local", "global"):
         ref = align_oracle(qs[b], ts[b], sp, mode=mode)
         assert str(res[b]) == str(ref), (pid, mode, b, res[b], ref)
 
+# the sharded fill+DEVICE-walk program (strip_fill_walk_global) across a
+# real process boundary: op matrices — not pointer streams — ride the
+# process_allgather (the round-5 "CIGARs gathered via collectives" path)
+os.environ["SEQALIB_STRIP_DEV_WALK"] = "1"
+res = align_batch(
+    qs, ts, scoring=sp, mode="global", backend="pallas", mesh=mesh,
+    traceback=True,
+)
+for b in range(16):
+    ref = align_oracle(qs[b], ts[b], sp, mode="global")
+    assert str(res[b]) == str(ref), (pid, "global-devwalk", b, res[b], ref)
+
 print(f"MULTIHOST-OK p{pid}", flush=True)
